@@ -1,0 +1,98 @@
+"""LOWESS — locally weighted scatterplot smoothing with robustness weights.
+
+Re-creates the reference's custom LOWESS (wotan/lowess.py:7-51): tricube
+x-weights over a cadence window of ``int(W/span * n)`` points that advances
+when ``x_i`` passes the window midpoint, a linear "projection vector" fit,
+and bisquare robustness reweighting (scale = 6 * median |resid|), up to 30
+iterations with ftol=1e-6.
+
+Vectorization: window bounds come from one two-pointer sweep; the per-center
+linear fits are evaluated as dense row-wise NumPy over groups of
+equal-length windows (the reference runs a numba-jitted per-point loop).
+Reference quirks kept: the tricube radius uses the window's second-to-last
+point; weights are not clipped at zero outside the radius; a NaN anywhere in
+the trend makes the convergence test False so iteration continues.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _window_bounds(x: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+    n = len(x)
+    lefts = np.empty(n, dtype=np.int64)
+    rights = np.empty(n, dtype=np.int64)
+    left, right = 0, width
+    for i in range(n):
+        while right < n and x[i] > (x[left] + x[right]) / 2.0:
+            left += 1
+            right += 1
+        lefts[i] = left
+        rights[i] = right
+    return lefts, rights
+
+
+def _fit_rows(XW: np.ndarray, YW: np.ndarray, W: np.ndarray,
+              xi: np.ndarray) -> np.ndarray:
+    """Row-wise linear projection fit (reference calc_y_fit)."""
+    w1 = np.sum(W * XW, axis=1)
+    d = XW - w1[:, None]
+    w2 = np.sum(W * d ** 2, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.sum(W * ((1.0 + (xi - w1)[:, None] * d / w2[:, None]) * YW), axis=1)
+    out[w2 == 0.0] = np.nan
+    return out
+
+
+def lowess(x: np.ndarray, y: np.ndarray, mask: np.ndarray,
+           window_length: float, maxiter: int = 30, ftol: float = 1e-6) -> np.ndarray:
+    n = len(x)
+    span = np.max(x) - np.min(x)
+    if span == 0.0:
+        return np.full(n, np.nan)
+    width = int((window_length / span) * n)
+    lefts, rights = _window_bounds(x, width)
+    lengths = rights - lefts
+    groups = [(L, np.where(lengths == L)[0]) for L in np.unique(lengths)]
+
+    y_weights = np.zeros(n)
+    y_fit_previous = np.ones(n)
+    trend = np.full(n, np.nan)
+    use_y_weights = False
+
+    for _ in range(maxiter):
+        trend = np.zeros(n)
+        for L, idx in groups:
+            if L <= 0:
+                trend[idx] = np.nan
+                continue
+            rows = lefts[idx][:, None] + np.arange(L)[None, :]
+            XW = x[rows]
+            YW = y[rows]
+            xi = x[idx]
+            # tricube distance weights; radius uses the window's
+            # second-to-last point, as in the reference
+            radius = np.maximum(xi - XW[:, 0], XW[:, -2] - xi) if L >= 2 \
+                else np.maximum(xi - XW[:, 0], np.nan)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                W = (1.0 - (np.abs(XW - xi[:, None]) / radius[:, None]) ** 3) ** 3
+            if use_y_weights:
+                rw = y_weights[rows]
+                has = np.any(rw != 0.0, axis=1)
+                W = np.where(has[:, None], W * rw, W)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                W = W / np.nansum(W, axis=1)[:, None]
+            trend[idx] = _fit_rows(XW, YW, W, xi)
+
+        diff = np.abs(y - trend)
+        med = np.nanmedian(diff)
+        diff = diff / (6.0 * med + 1e-100)
+        diff[diff > 1.0] = 1.0
+        y_weights = (1.0 - diff ** 2) ** 2
+        y_weights[mask == 0] = 0.0
+        use_y_weights = True
+        if np.max(np.abs(y_fit_previous - trend)) < ftol:
+            break
+        y_fit_previous = trend
+    return trend

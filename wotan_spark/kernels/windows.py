@@ -1,0 +1,159 @@
+"""Time-windowed sliding robust estimation over one series segment.
+
+Re-creates the window semantics of the reference slider
+(``wotan/slider.py:12-91``) with vectorized NumPy instead of a numba
+per-point loop:
+
+* window for center ``i`` is the half-open time range
+  ``[t_i - W/2, t_i + W/2)`` expressed as index range
+  ``[searchsorted(t, t_i - W/2), min(searchsorted(t, t_i + W/2), n-1))`` —
+  the ``n-1`` cap means the final point of a segment is never inside any
+  window (quirk Q1);
+* centers outside ``[min(t)+edge_cutoff, max(t)-edge_cutoff]`` are NaN, with
+  ``edge_cutoff`` clamped to ``W/2``;
+* masked points are dropped via the reference's negative-sentinel trick
+  (``mask 0 -> -1``, keep ``flux*mask > -1e-12``), which also drops genuinely
+  negative flux (quirk Q2);
+* an empty window yields NaN.
+
+Vectorization strategy: window index bounds come from two ``searchsorted``
+calls (identical results to the reference's monotone two-pointer sweep);
+centers are then grouped by window *length* so each group is a dense
+``(n_windows, L)`` matrix evaluated by one vectorized estimator call.  On a
+regular token-index grid almost all interior windows share one length, so
+this runs at NumPy speed without numba.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wotan_spark.constants import PROPORTIONTOCUT
+from wotan_spark.kernels import robust
+
+_NEG_SENTINEL = -1e-12
+
+
+def window_bounds(time: np.ndarray, half_window: float) -> tuple[np.ndarray, np.ndarray]:
+    """Per-center [start, end) index bounds of the sliding time window."""
+    n = len(time)
+    starts = np.searchsorted(time, time - half_window, side="left")
+    ends = np.minimum(np.searchsorted(time, time + half_window, side="left"), n - 1)
+    return starts, ends
+
+
+_FAST_2D = {
+    "mean": lambda F, cval: robust.mean_2d(F),
+    "median": lambda F, cval: robust.median_2d(F),
+    "biweight": lambda F, cval: robust.m_location_2d(F, cval, "biweight"),
+    "andrewsinewave": lambda F, cval: robust.m_location_2d(F, cval, "andrewsinewave"),
+    "welsch": lambda F, cval: robust.m_location_2d(F, cval, "welsch"),
+    "hodges": lambda F, cval: robust.hodges_2d(F),
+    "trim_mean": lambda F, cval: robust.trim_mean_2d(F, cval),
+    "winsorize": lambda F, cval: robust.winsorize_2d(F, cval),
+    "hampelfilt": lambda F, cval: robust.hampelfilt_2d(F, cval),
+    "huber_psi": lambda F, cval: robust.huber_psi_2d(F, cval),
+    "tau": lambda F, cval: robust.tau_2d(F, cval),
+}
+
+_SLOW_1D = {
+    "huber": lambda f, cval: robust.huber_location_1d(f, cval),
+    "hampel": lambda f, cval: robust.irls_intercept_1d(f, "hampel", cval),
+    "ramsay": lambda f, cval: robust.irls_intercept_1d(f, "ramsay", cval),
+}
+
+
+def _center_selection(time: np.ndarray, window_length: float,
+                      edge_cutoff: float) -> np.ndarray:
+    half_window = window_length / 2.0
+    if edge_cutoff > half_window:
+        edge_cutoff = half_window
+    lo = np.min(time) + edge_cutoff
+    hi = np.max(time) - edge_cutoff
+    return (time >= lo) & (time <= hi)
+
+
+def running_slider(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
+                   window_length: float, edge_cutoff: float, cval,
+                   method: str) -> np.ndarray:
+    """Fast-path slider (reference ``running_segment``, wotan/slider.py:12-91)."""
+    est = _FAST_2D[method]
+    n = len(time)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    sel = _center_selection(time, window_length, edge_cutoff)
+    centers = np.where(sel)[0]
+    if len(centers) == 0:
+        return out
+
+    sentinel = np.where(mask == 0.0, -1.0, mask)
+    mf = flux * sentinel
+    starts, ends = window_bounds(time, window_length / 2.0)
+    starts, ends = starts[centers], ends[centers]
+    lengths = ends - starts
+
+    # Ragged path only when sentinel-dropping can change window contents.
+    ragged = bool(np.any(mf <= _NEG_SENTINEL))
+    if ragged:
+        for c, s, e in zip(centers, starts, ends):
+            f = mf[s:e]
+            f = f[f > _NEG_SENTINEL]
+            if len(f):
+                out[c] = est(f[None, :], cval)[0]
+        return out
+
+    for L in np.unique(lengths):
+        g = lengths == L
+        if L == 0:
+            continue  # empty window stays NaN
+        rows = starts[g][:, None] + np.arange(L)[None, :]
+        out[centers[g]] = est(mf[rows], cval)
+    return out
+
+
+def running_slider_iterative(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
+                             window_length: float, edge_cutoff: float, cval,
+                             method: str) -> np.ndarray:
+    """Iterative-estimator slider (reference ``running_segment_slow``,
+    wotan/slider.py:94-165): NaN-masking, windows with <=1 point give NaN."""
+    est = _SLOW_1D[method]
+    n = len(time)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    sel = _center_selection(time, window_length, edge_cutoff)
+    centers = np.where(sel)[0]
+    if len(centers) == 0:
+        return out
+
+    mf = flux * np.where(mask == 0.0, np.nan, mask)
+    starts, ends = window_bounds(time, window_length / 2.0)
+    for c in centers:
+        f = mf[starts[c]:ends[c]]
+        f = f[~np.isnan(f)]
+        if len(f) > 1:
+            out[c] = est(f, cval)
+    return out
+
+
+def default_cval(method: str, proportiontocut: float = PROPORTIONTOCUT):
+    """Per-method default tuning constant (reference wotan/flatten.py:146-173)."""
+    defaults = {
+        "biweight": 5,
+        "andrewsinewave": 1.339,
+        "welsch": 2.11,
+        "huber": 1.5,
+        "huber_psi": 1.28,
+        "trim_mean": proportiontocut,
+        "winsorize": proportiontocut,
+        "hampelfilt": 3,
+        "tau": 4.5,
+        "hampel": (1.7, 3.4, 8.5),
+        "ramsay": 0.3,
+        "savgol": 2,
+        "ridge": 1,
+        "lasso": 1,
+        "elasticnet": 1,
+    }
+    return defaults.get(method, 0)
