@@ -1,0 +1,176 @@
+"""Spark operator tests: synthesis determinism, packed detrend parity,
+chunked-path exactness, rollup cascade, gap-fill, clip, masks."""
+
+from __future__ import annotations
+
+import numpy as np
+import numpy.testing as npt
+import pyspark.sql.functions as F
+
+from wotan_spark.kernels.clipper import slide_clip as slide_clip_kernel
+from wotan_spark.kernels.detrend import detrend_series
+from wotan_spark.spark.detrend_op import (detrend_sequences,
+                                          detrend_sequences_chunked,
+                                          split_chunks)
+from wotan_spark.spark.gapfill import fill_array, gapfill_sequences, resample_ffill
+from wotan_spark.spark.ops import slide_clip_sequences, transit_mask_col
+from wotan_spark.spark.rollup import cascade_tier, explode_points, rollup_tier10
+from wotan_spark.spark.synth import (decode_tokens, make_tokens,
+                                     synth_sequences)
+
+N_DOCS = 40
+
+
+def _seq(spark, **kw):
+    return synth_sequences(spark, N_DOCS, median_len=300, max_len=2500, **kw)
+
+
+def test_synth_deterministic_across_parallelism(spark):
+    a = _seq(spark, partitions=2).orderBy("doc_id").collect()
+    b = _seq(spark, partitions=7).orderBy("doc_id").collect()
+    assert len(a) == N_DOCS
+    for ra, rb in zip(a, b):
+        assert ra.doc_id == rb.doc_id
+        assert ra.tokens == rb.tokens  # per-row token-array equality invariant
+        assert ra.n_tok == len(ra.tokens)
+        assert np.array_equal(np.asarray(ra.tokens, dtype=np.int32),
+                              make_tokens(int(ra.doc_id.split("_")[1]),
+                                          median_len=300, max_len=2500))
+
+
+def test_detrend_matches_kernel(spark):
+    seq = _seq(spark)
+    det = detrend_sequences(seq, method="biweight", window_length=17,
+                            keep_tokens=True)
+    for row in det.collect():
+        toks = np.asarray(row.tokens, dtype=np.int32)
+        y = decode_tokens(toks)
+        t = np.arange(len(y), dtype=np.float64)
+        res = detrend_series(t, y, window_length=17, method="biweight")
+        npt.assert_allclose(np.asarray(row.flat, dtype=np.float64),
+                            res.flatten_lc, rtol=1e-12, equal_nan=True)
+        npt.assert_allclose(np.asarray(row.trend, dtype=np.float64),
+                            res.trend_lc, rtol=1e-12, equal_nan=True)
+
+
+def test_chunked_detrend_exact_and_token_invariant(spark):
+    seq = _seq(spark)
+    plain = {r.doc_id: r for r in
+             detrend_sequences(seq, method="biweight",
+                               window_length=17).collect()}
+    chunked = detrend_sequences_chunked(seq, method="biweight",
+                                        window_length=17, chunk_size=256)
+    rows = chunked.collect()
+    assert len(rows) == N_DOCS
+    for row in rows:
+        ref = plain[row.doc_id]
+        npt.assert_allclose(np.asarray(row.flat, dtype=np.float64),
+                            np.asarray(ref.flat, dtype=np.float64),
+                            rtol=1e-12, equal_nan=True)
+    # chunk/reassemble preserves the token arrays bit-exactly
+    chunks = split_chunks(seq, 256, 40)
+    rebuilt = (chunks.orderBy("doc_id", "chunk_id")
+               .select("doc_id", "chunk_id", "lead", "core", "tokens")
+               .collect())
+    per_doc: dict[str, list] = {}
+    for r in rebuilt:
+        per_doc.setdefault(r.doc_id, []).append(
+            r.tokens[r.lead:r.lead + r.core])
+    orig = {r.doc_id: r.tokens for r in seq.collect()}
+    for doc_id, parts in per_doc.items():
+        flat = [tok for part in parts for tok in part]
+        assert flat == orig[doc_id]
+
+
+def test_rollup_tier10_and_cascade(spark):
+    seq = _seq(spark)
+    det = detrend_sequences(seq, method="mean", window_length=17,
+                            keep_tokens=True)
+    t10 = rollup_tier10(det).cache()
+    t100 = cascade_tier(t10)
+    # numpy oracle for one doc
+    row = det.filter(F.col("doc_id") == "doc_00000001").collect()[0]
+    y = decode_tokens(np.asarray(row.tokens, dtype=np.int32))
+    got = (t10.filter(F.col("doc_id") == "doc_00000001")
+           .orderBy("bucket").toPandas())
+    for _, r in got.iterrows():
+        seg = y[int(r.bucket) * 10:(int(r.bucket) + 1) * 10]
+        seg = seg[~np.isnan(seg)]
+        assert r.n == len(seg)
+        if len(seg):
+            npt.assert_allclose(r.y_mean, seg.mean(), rtol=1e-12)
+            npt.assert_allclose(r.y_median, np.median(seg), rtol=1e-12)
+            npt.assert_allclose(r.y_min, seg.min(), rtol=1e-12)
+            npt.assert_allclose(r.y_max, seg.max(), rtol=1e-12)
+    # cascade is exact vs direct 100-bucketing
+    direct = (t10.groupBy("doc_id",
+                          (F.col("bucket") / 10).cast("long").alias("bucket"))
+              .agg(F.sum("n").alias("n"), F.sum("y_sum").alias("y_sum"),
+                   F.min("y_min").alias("y_min"), F.max("y_max").alias("y_max")))
+    joined = (t100.alias("a").join(direct.alias("b"), ["doc_id", "bucket"])
+              .select(
+                  (F.col("a.n") == F.col("b.n")).alias("n_ok"),
+                  (F.abs(F.col("a.y_sum") - F.col("b.y_sum")) < 1e-9).alias("s_ok"),
+                  (F.col("a.y_min") == F.col("b.y_min")).alias("mn_ok"),
+                  (F.col("a.y_max") == F.col("b.y_max")).alias("mx_ok")))
+    bad = joined.filter(~(F.col("n_ok") & F.col("s_ok") & F.col("mn_ok")
+                          & F.col("mx_ok"))).count()
+    assert bad == 0
+
+
+def test_gapfill_modes(spark):
+    y = np.array([np.nan, 1.0, np.nan, np.nan, 4.0, np.nan])
+    npt.assert_allclose(fill_array(y, "ffill"),
+                        [np.nan, 1, 1, 1, 4, 4], equal_nan=True)
+    npt.assert_allclose(fill_array(y, "linear"),
+                        [np.nan, 1, 2, 3, 4, np.nan], equal_nan=True)
+    seq = _seq(spark)
+    filled = gapfill_sequences(seq, mode="linear")
+    orig = {r.doc_id: r.tokens for r in seq.collect()}
+    for r in filled.collect():
+        y_f = decode_tokens(np.asarray(r.tokens, dtype=np.int32))
+        y_o = decode_tokens(np.asarray(orig[r.doc_id], dtype=np.int32))
+        ref = fill_array(y_o, "linear")
+        # token quantization rounds to 1e-6
+        npt.assert_allclose(y_f, ref, atol=1e-6, equal_nan=True)
+
+
+def test_resample_ffill_on_points(spark):
+    seq = _seq(spark).limit(5)
+    pts = explode_points(seq)
+    out = resample_ffill(pts, key="doc_id", t="t", y="y", step=10,
+                         interpolate=True)
+    pdf = out.orderBy("doc_id", "bucket_t").toPandas()
+    assert (pdf.groupby("doc_id")["bucket_t"].apply(
+        lambda s: (np.diff(s) == 10).all())).all()
+    # y_filled should have no interior NaN holes
+    for _, grp in pdf.groupby("doc_id"):
+        vals = grp["y_filled"].to_numpy()
+        good = np.where(~np.isnan(vals.astype(float)))[0]
+        if len(good):
+            inner = vals[good[0]:good[-1] + 1].astype(float)
+            assert not np.isnan(inner).any()
+
+
+def test_slide_clip_sequences_matches_kernel(spark):
+    seq = _seq(spark).limit(6)
+    clipped = slide_clip_sequences(seq, window_length=50, low=3, high=3)
+    orig = {r.doc_id: r.tokens for r in seq.collect()}
+    for r in clipped.collect():
+        y_o = decode_tokens(np.asarray(orig[r.doc_id], dtype=np.int32))
+        t = np.arange(len(y_o), dtype=np.float64)
+        ref = slide_clip_kernel(t, y_o, 50, 3, 3, None, None)
+        got = decode_tokens(np.asarray(r.tokens, dtype=np.int32))
+        npt.assert_allclose(got, ref, atol=1e-6, equal_nan=True)
+
+
+def test_transit_mask_col(spark):
+    from tests.conftest import reference_module
+    helpers = reference_module("helpers")
+    t = np.linspace(0, 30, 500)
+    ref = helpers.transit_mask(t, 3.1, 0.4, 1.0)
+    df = spark.createDataFrame([(float(v),) for v in t], "t double")
+    got = np.array([r[0] for r in
+                    df.select(transit_mask_col(F.col("t"), 3.1, 0.4, 1.0))
+                    .collect()])
+    npt.assert_array_equal(got, ref)

@@ -1,0 +1,198 @@
+"""Distributed detrend over packed token arrays.
+
+The input table is one-series-per-row, so detrending is embarrassingly
+parallel: a single ``mapInPandas`` pass decodes each row's tokens, runs the
+per-series pipeline kernel (``wotan_spark.kernels.detrend.detrend_series``)
+and emits packed ``flat``/``trend`` arrays — **zero shuffle**, unlike an
+explode -> groupBy plan which would multiply 10^12 rows by sequence length.
+
+Skew handling for heavy-tailed sequence lengths (the ``n_tok`` lognormal
+tail): ``detrend_sequences_chunked`` splits long rows into overlapping chunk
+rows, round-robin ``repartition``s them so one 50k-token doc doesn't pin a
+task, detrends each chunk, and reassembles trimmed chunks with one shuffle
+on doc_id.  Overlap >= window + break_tolerance makes interior points exact
+(window estimators are local; verified by test against the unchunked path).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from wotan_spark.kernels.detrend import detrend_series
+from wotan_spark.spark.synth import decode_tokens
+
+DETREND_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("n_tok", IntegerType(), False),
+    StructField("source", StringType(), True),
+    StructField("flat", ArrayType(DoubleType(), True), True),
+    StructField("trend", ArrayType(DoubleType(), True), True),
+])
+
+DETREND_SCHEMA_TOKENS = StructType(
+    DETREND_SCHEMA.fields
+    + [StructField("tokens", ArrayType(IntegerType(), True), False)])
+
+CHUNK_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("chunk_id", IntegerType(), False),
+    StructField("t0", LongType(), False),
+    StructField("lead", IntegerType(), False),
+    StructField("core", IntegerType(), False),
+    StructField("n_tok", IntegerType(), False),
+    StructField("source", StringType(), True),
+    StructField("tokens", ArrayType(IntegerType(), True), False),
+])
+
+
+def _detrend_one(tokens: np.ndarray, params: dict) -> tuple[np.ndarray, np.ndarray]:
+    y = decode_tokens(np.asarray(tokens, dtype=np.int32))
+    t = np.arange(len(y), dtype=np.float64)
+    res = detrend_series(t, y, **params)
+    return res.flatten_lc, res.trend_lc
+
+
+def detrend_sequences(df: DataFrame, method: str = "biweight",
+                      keep_tokens: bool = False, **params) -> DataFrame:
+    """sequences(doc_id, tokens, n_tok, source) ->
+    (doc_id, n_tok, source, flat, trend[, tokens]) with packed arrays."""
+    params = dict(params, method=method)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flats, trends = [], []
+            for toks in pdf["tokens"]:
+                flat, trend = _detrend_one(np.asarray(toks, dtype=np.int32),
+                                           params)
+                flats.append(flat)
+                trends.append(trend)
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tok": pdf["n_tok"].astype("int32"),
+                "source": pdf["source"],
+                "flat": flats,
+                "trend": trends,
+            })
+            if keep_tokens:
+                out["tokens"] = pdf["tokens"]
+            yield out
+
+    schema = DETREND_SCHEMA_TOKENS if keep_tokens else DETREND_SCHEMA
+    return df.mapInPandas(run, schema=schema)
+
+
+def split_chunks(df: DataFrame, chunk_size: int, overlap: int) -> DataFrame:
+    """Explode long sequences into overlapping chunk rows.
+
+    Each chunk row carries ``lead`` (number of overlap tokens prepended) and
+    ``core`` (number of tokens this chunk owns); short rows pass through as a
+    single chunk.  The per-row token-array invariant is preserved: trimming
+    ``lead:lead+core`` and concatenating by chunk_id rebuilds ``tokens``
+    exactly (tested).
+    """
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "chunk_id", "t0", "lead", "core",
+                                   "n_tok", "source", "tokens")}
+            for doc_id, toks, n_tok, source in zip(
+                    pdf["doc_id"], pdf["tokens"], pdf["n_tok"], pdf["source"]):
+                toks = np.asarray(toks, dtype=np.int32)
+                n = len(toks)
+                n_chunks = max(1, math.ceil(n / chunk_size))
+                for c in range(n_chunks):
+                    lo = c * chunk_size
+                    hi = min(lo + chunk_size, n)
+                    lead = min(overlap, lo)
+                    tail = min(overlap, n - hi)
+                    out["doc_id"].append(doc_id)
+                    out["chunk_id"].append(c)
+                    out["t0"].append(lo)
+                    out["lead"].append(lead)
+                    out["core"].append(hi - lo)
+                    out["n_tok"].append(n_tok)
+                    out["source"].append(source)
+                    out["tokens"].append(toks[lo - lead:hi + tail])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(split, schema=CHUNK_SCHEMA)
+
+
+def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
+                              chunk_size: int = 8192,
+                              overlap: int | None = None,
+                              num_partitions: int | None = None,
+                              **params) -> DataFrame:
+    """Skew-safe detrend: chunk, spread, detrend, reassemble.
+
+    Exact for the local (slider/filter) methods when
+    ``overlap >= window_length + break_tolerance``.
+    """
+    params = dict(params, method=method)
+    wl = params.get("window_length") or 2
+    bt = params.get("break_tolerance")
+    if bt is None:
+        bt = wl / 2
+    if overlap is None:
+        overlap = int(math.ceil(wl + bt)) + 1
+
+    chunks = split_chunks(df, chunk_size, overlap)
+    # round-robin salt: spread one doc's chunks across tasks
+    if num_partitions:
+        chunks = chunks.repartition(num_partitions)
+    else:
+        chunks = chunks.repartition(F.col("doc_id"), F.col("chunk_id"))
+
+    piece_schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("chunk_id", IntegerType(), False),
+        StructField("n_tok", IntegerType(), False),
+        StructField("source", StringType(), True),
+        StructField("flat", ArrayType(DoubleType(), True), True),
+        StructField("trend", ArrayType(DoubleType(), True), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flats, trends = [], []
+            for toks, lead, core in zip(pdf["tokens"], pdf["lead"], pdf["core"]):
+                flat, trend = _detrend_one(np.asarray(toks, dtype=np.int32),
+                                           params)
+                sl = slice(int(lead), int(lead) + int(core))
+                flats.append(flat[sl])
+                trends.append(trend[sl])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "chunk_id": pdf["chunk_id"].astype("int32"),
+                "n_tok": pdf["n_tok"].astype("int32"),
+                "source": pdf["source"],
+                "flat": flats,
+                "trend": trends,
+            })
+
+    pieces = chunks.mapInPandas(run, schema=piece_schema)
+
+    def reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_id")
+        flat = np.concatenate([np.asarray(a, dtype=np.float64)
+                               for a in pdf["flat"]])
+        trend = np.concatenate([np.asarray(a, dtype=np.float64)
+                                for a in pdf["trend"]])
+        return pd.DataFrame({
+            "doc_id": [key[0]],
+            "n_tok": [np.int32(pdf["n_tok"].iloc[0])],
+            "source": [pdf["source"].iloc[0]],
+            "flat": [flat],
+            "trend": [trend],
+        })
+
+    return pieces.groupBy("doc_id").applyInPandas(reassemble,
+                                                  schema=DETREND_SCHEMA)
