@@ -1,0 +1,87 @@
+"""Pipeline checkpoint/resume + lakehouse snapshot semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from wotan_spark.spark.lakehouse import SnapshotTable
+from wotan_spark.spark.pipeline import Pipeline, PipelineConfig
+from wotan_spark.spark.synth import synth_sequences
+
+
+def test_snapshot_table_append_overwrite_timetravel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "x")
+    s0 = t.append(df1, tag="a")
+    s1 = t.append(df2, tag="b")
+    assert t.read(spark).count() == 8
+    assert t.read(spark, snapshot_id=s0).count() == 5  # time travel
+    s2 = t.overwrite(df2, tag="c")
+    assert t.read(spark).count() == 3
+    assert [m["snapshot_id"] for m in t.snapshots()] == [s0, s1, s2]
+    assert t.find_snapshot(tag="b")["snapshot_id"] == s1
+
+
+def test_merge_buckets_upsert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base = spark.createDataFrame([("a", 1, 10.0), ("a", 2, 20.0),
+                                  ("b", 1, 30.0)], "k string, b int, v double")
+    t.overwrite(base)
+    upd = spark.createDataFrame([("a", 2, 99.0), ("b", 2, 40.0)],
+                                "k string, b int, v double")
+    t.merge_buckets(spark, upd, keys=["k", "b"])
+    got = {(r.k, r.b): r.v for r in t.read(spark).collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 99.0, ("b", 1): 30.0,
+                   ("b", 2): 40.0}
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    seq = synth_sequences(spark, 12, median_len=200, max_len=800)
+    cfg = PipelineConfig(method="mean", window_length=17)
+
+    # full run in one shot
+    p_full = Pipeline(spark, str(tmp_path / "full"), cfg)
+    p_full.run(sequences=seq)
+    t100_full = (p_full.tables["tier100"].read(spark)
+                 .orderBy("doc_id", "bucket").toPandas())
+
+    # killed after tier10, resumed by a fresh Pipeline object
+    p_a = Pipeline(spark, str(tmp_path / "resume"), cfg)
+    p_a.run(sequences=seq, stop_after="tier10")
+    assert p_a.tables["tier100"].current_snapshot_id() is None
+    p_b = Pipeline(spark, str(tmp_path / "resume"), cfg)  # new process sim
+    out = p_b.run()
+    assert "tier100" in out and "blocks" in out
+    assert "detrended" not in out  # stage skipped: checkpoint honored
+
+    t100_resumed = (p_b.tables["tier100"].read(spark)
+                    .orderBy("doc_id", "bucket").toPandas())
+    assert t100_full.shape == t100_resumed.shape
+    np.testing.assert_allclose(
+        t100_full["y_sum"].to_numpy(), t100_resumed["y_sum"].to_numpy(),
+        rtol=1e-12)
+
+    # lineage rows present for every stage
+    lin = p_b.tables["lineage"].read(spark)
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert {"detrended", "tier10", "tier100", "blocks"} <= stages
+    cols = set(lin.columns)
+    assert {"partition_id", "input_snapshot", "rows", "checksum",
+            "wall_time_s", "run_id"} <= cols
+    # rows accounting matches the committed tier10 table
+    t10_rows = p_b.tables["tier10"].read(spark).count()
+    lin_t10 = (lin.filter(F.col("stage") == "tier10")
+               .agg(F.sum("rows")).collect()[0][0])
+    assert lin_t10 == t10_rows
+
+
+def test_pipeline_config_change_triggers_recompute(spark, tmp_path):
+    seq = synth_sequences(spark, 6, median_len=150, max_len=400)
+    root = str(tmp_path / "cfg")
+    p1 = Pipeline(spark, root, PipelineConfig(method="mean", window_length=17))
+    p1.run(sequences=seq)
+    p2 = Pipeline(spark, root, PipelineConfig(method="median", window_length=17))
+    out = p2.run()
+    assert "detrended" in out  # fingerprint change -> stage re-ran
