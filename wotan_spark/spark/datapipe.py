@@ -1,0 +1,202 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force cosine top-k), and text analysis (token counts, quality
+scoring, language id, fingerprinting).
+
+Portability contract: every hash used here is derived from md5 so the
+DuckDB oracle can reproduce it bit-for-bit — Spark
+``conv(substr(md5(s),1,14),16,10)`` == DuckDB ``('0x'||substr(md5(s),1,14))::BIGINT``.
+MinHash permutations are affine ``(a*h + b) mod p`` over that 56-bit value
+reduced mod p=2^31-1 (a,b fixed odd constants), so signatures match across
+engines exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_COEFFS = [(1664525 + 2 * i, 1013904223 + 7 * i) for i in range(8)]
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def _words(col):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def md5_long(col) -> F.Column:
+    """Portable 56-bit integer hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash: (fingerprint, dup_count),
+    groups with more than one member."""
+    return (docs.select(F.md5(F.col("text")).alias("fingerprint"))
+            .groupBy("fingerprint").agg(F.count("*").alias("dup_count"))
+            .filter(F.col("dup_count") > 1))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per doc."""
+    w = _words("text")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return (docs.filter(F.size(w) >= n)
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs by exact n-gram Jaccard similarity:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    Shuffles on shingle (the join key); hot shingles are bounded because
+    shingles are distinct per doc.  The per-doc shingle counts are a small
+    aggregate and broadcast into the final join.
+    """
+    sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("x").join(sh.alias("y"), "shingle")
+             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("doc_a"),
+                      F.col("y.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    a = F.broadcast(sizes).alias("sa")
+    b = F.broadcast(sizes).alias("sb")
+    out = (inter.join(a, F.col("doc_a") == F.col("sa.doc_id"))
+           .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+           .select("doc_a", "doc_b",
+                   (F.col("inter")
+                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+                    ).alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h0..h7) MinHash signature over word n-gram shingles."""
+    sh = word_shingles(docs, n).withColumn(
+        "hv", md5_long(F.col("shingle")) % MINHASH_P)
+    aggs = [F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P)
+            .alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
+                      band_size: int = 2) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+    (doc_a, doc_b, n_bands) — the scale path for near-dup detection: the
+    only wide shuffle is on (band_id, band_hash) buckets."""
+    sig = minhash_signatures(docs, n)
+    n_bands = len(MINHASH_COEFFS) // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}").cast("string")
+                for j in range(band_size)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    pairs = (all_bands.alias("x").join(all_bands.alias("y"),
+                                       ["band_id", "band_hash"])
+             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("doc_a"),
+                      F.col("y.doc_id").alias("doc_b"))
+             .agg(F.countDistinct("band_id").alias("n_bands")))
+    return pairs
+
+
+def simhash(docs: DataFrame, bits: int = 16, n: int = 2) -> DataFrame:
+    """(doc_id, simhash) — per-bit majority vote over shingle hashes."""
+    sh = word_shingles(docs, n).withColumn("hv", md5_long(F.col("shingle")))
+    bit_terms = [
+        F.when(F.sum(F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1,
+                            1).otherwise(-1)) > 0, F.lit(1 << b)).otherwise(0)
+        for b in range(bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return sh.groupBy("doc_id").agg(total.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
+                round_to: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    The query side is a handful of vectors — broadcast, so the scan of the
+    corpus side stays shuffle-free.  The IVF/LSH variant for the 100 TB path
+    buckets candidates first (see minhash_lsh_pairs for the same pattern).
+    """
+    q = F.broadcast(emb.filter(F.col("vec_id").isin(query_ids))
+                    .select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("qv")))
+    pairs = q.join(emb.filter(~F.col("vec_id").isin(query_ids))
+                   .select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("nv")))
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda a, b:
+                                 a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = (dot / (nrm(F.col("qv")) * nrm(F.col("nv"))))
+    scored = pairs.select("query_id", "neighbor_id",
+                          F.round(sim, round_to).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Token counts + quality features per doc."""
+    w = _words("text")
+    n_tokens = F.size(w)
+    avg_len = (F.col("n_chars") - (n_tokens - 1)) / n_tokens  # chars per word
+    stop_hits = F.size(F.array_intersect(F.array_distinct(w),
+                                         F.array([F.lit(s) for s in STOPWORDS])))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        stop_hits.alias("stopword_kinds"),
+        (n_tokens >= 50).cast("int").alias("len_ok"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language id: share of known-English stopwords among
+    distinct words -> 'en' vs 'other' (deterministic, oracle-friendly)."""
+    w = F.array_distinct(_words("text"))
+    stop_hits = F.size(F.array_intersect(
+        w, F.array([F.lit(s) for s in STOPWORDS])))
+    ratio = stop_hits / F.size(w)
+    return docs.select(
+        "doc_id", F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    word set (bag-of-words identity for fuzzy-dedup pre-grouping)."""
+    w = F.array_sort(F.array_distinct(_words("text")))
+    return docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", w)).alias("fingerprint"))
