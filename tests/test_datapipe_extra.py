@@ -1,0 +1,23 @@
+"""ANN LSH path: recall vs brute force on the embeddings table."""
+
+from __future__ import annotations
+
+from wotan_spark.spark.datapipe import cosine_topk, cosine_topk_lsh
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=5).collect()
+    approx = cosine_topk_lsh(emb, qids, k=5, n_planes=4, n_tables=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # few planes + several tables: high recall on 500 vectors
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # candidates are a strict subset of the corpus; ranks well-formed
+    for r in approx:
+        assert 1 <= r.rank <= 5
+        assert -1.0 <= r.cos_sim <= 1.0

@@ -53,28 +53,71 @@ def m_location_2d(F: np.ndarray, cval: float, kind: str) -> np.ndarray:
     median, MAD scale (MAD==0 -> return median), iterate until the per-window
     step is <= FTOL.  Rows are frozen the moment they individually converge so
     iteration counts match the scalar reference loop.
+
+    Memory profile: preallocated scratch buffers and full-matrix masked
+    updates (no per-iteration fancy-indexed gathers) — this kernel is
+    bandwidth-bound under many concurrent executor workers, so fewer
+    temporaries translate directly into multi-core scaling.
     """
     med = np.median(F, axis=1)
-    mad = np.median(np.abs(F - med[:, None]), axis=1)
+    d = F - med[:, None]
+    np.abs(d, out=d)
+    mad = np.median(d, axis=1)
     center = med.copy()
     active = mad != 0.0
     inv = np.zeros_like(mad)
-    inv[active] = 1.0 / (cval * mad[active])
+    np.divide(1.0, cval * mad, out=inv, where=active)
     prev = center.copy()
-    while active.any():
-        idx = np.where(active)[0]
-        d = F[idx] - center[idx, None]
-        u = d * inv[idx, None]
-        w = _m_weights(u, kind)
+    u = np.empty_like(F)
+    w = np.empty_like(F)
+    newc = np.empty_like(center)
+    n_active = int(active.sum())
+    while n_active:
+        # once few rows remain, gather-compute beats full-matrix waste
+        if n_active * 4 < len(center):
+            idx = np.flatnonzero(active)
+            dg = F[idx] - center[idx, None]
+            ug = dg * inv[idx, None]
+            wg = _m_weights(ug, kind)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                step = np.einsum("ij,ij->i", dg, wg) / wg.sum(axis=1)
+            center[idx] += step
+            keep = np.abs(prev[idx] - center[idx]) > FTOL
+            prev[idx] = center[idx]
+            active[idx[~keep]] = False
+            n_active = int(keep.sum())
+            continue
+        np.subtract(F, center[:, None], out=d)
+        np.multiply(d, inv[:, None], out=u)
+        if kind == "biweight":
+            np.multiply(u, u, out=w)
+            np.subtract(1.0, w, out=w)
+            np.multiply(w, w, out=w)
+            np.abs(u, out=u)
+            w[u >= 1.0] = 0.0
+        elif kind == "andrewsinewave":
+            u[u == 0.0] = _TINY
+            np.sin(u, out=w)
+            np.divide(w, u, out=w)
+            np.abs(u, out=u)
+            w[u >= np.pi] = 0.0
+        else:  # welsch
+            np.multiply(u, u, out=w)
+            w *= -0.5
+            np.exp(w, out=w)
+            np.abs(u, out=u)
+            w[u >= 1.0] = 0.0
         with np.errstate(invalid="ignore", divide="ignore"):
-            step = np.sum(d * w, axis=1) / np.sum(w, axis=1)
-        center[idx] = center[idx] + step
-        delta = prev[idx] - center[idx]
+            step = np.einsum("ij,ij->i", d, w) / w.sum(axis=1)
+        np.add(center, step, out=newc)
+        center = np.where(active, newc, center)
+        delta = prev - center
         # NaN delta compares False -> row stops (same as the reference's
         # `while abs(delta) > FTOL` exiting on NaN).
-        keep = np.abs(delta) > FTOL
-        prev[idx] = center[idx]
-        active[idx[~keep]] = False
+        still = np.abs(delta) > FTOL
+        prev = center.copy()
+        active &= still
+        n_active = int(active.sum())
     return center
 
 
@@ -205,7 +248,8 @@ def huber_location_1d(f: np.ndarray, cval: float,
             card = subset.sum()
             num = np.sum(subset * (a - nmu) ** 2)
             den = n * gamma - (a.shape[0] - card) * cval ** 2
-            nscale = np.sqrt(num / den)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nscale = np.sqrt(num / den)  # NaN -> non-convergence path
             if (abs(scale - nscale) <= nscale * tol
                     and abs(mu - nmu) <= nscale * tol):
                 return float(nmu)

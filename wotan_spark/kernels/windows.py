@@ -103,12 +103,19 @@ def running_slider(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
                 out[c] = est(f[None, :], cval)[0]
         return out
 
+    # evaluate in row blocks sized to keep the gathered (block, L) window
+    # matrix inside L2 cache — materially better scaling under many
+    # concurrent workers (memory-bandwidth-bound otherwise)
     for L in np.unique(lengths):
-        g = lengths == L
+        g = np.where(lengths == L)[0]
         if L == 0:
             continue  # empty window stays NaN
-        rows = starts[g][:, None] + np.arange(L)[None, :]
-        out[centers[g]] = est(mf[rows], cval)
+        block = max(int(32768 / max(L, 1)), 256)
+        offs = np.arange(L)[None, :]
+        for b in range(0, len(g), block):
+            gb = g[b:b + block]
+            rows = starts[gb][:, None] + offs
+            out[centers[gb]] = est(mf[rows], cval)
     return out
 
 

@@ -162,6 +162,85 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def lsh_buckets(emb: DataFrame, n_planes: int = 8, n_tables: int = 2,
+                seed: int = 7) -> DataFrame:
+    """(vec_id, table_id, bucket) — random-hyperplane (sign) LSH buckets.
+
+    The scale path for ANN over 10^9+ vectors: candidates are co-bucketed, so
+    the exact-cosine rerank touches only same-bucket pairs; the only wide
+    shuffle is on (table_id, bucket).  Hyperplanes are seeded-deterministic
+    and broadcast inside the Arrow batch closure.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("table_id", IntegerType(), False),
+        StructField("bucket", LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((n_tables, M.shape[1], n_planes))
+            ids, tids, buckets = [], [], []
+            for tbl in range(n_tables):
+                bits = (M @ planes[tbl]) > 0
+                b = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+                ids.append(pdf["vec_id"].to_numpy())
+                tids.append(np.full(len(pdf), tbl, dtype=np.int32))
+                buckets.append(b.astype(np.int64))
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(ids),
+                "table_id": np.concatenate(tids),
+                "bucket": np.concatenate(buckets)})
+
+    return emb.mapInPandas(run, schema=out_schema)
+
+
+def cosine_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 3,
+                    n_planes: int = 6, n_tables: int = 3,
+                    round_to: int = 5) -> DataFrame:
+    """Approximate cosine top-k: LSH-bucket candidate generation + exact
+    rerank within buckets.  Same output shape as cosine_topk."""
+    buckets = lsh_buckets(emb, n_planes=n_planes, n_tables=n_tables)
+    qb = F.broadcast(
+        buckets.filter(F.col("vec_id").isin(query_ids))
+        .withColumnRenamed("vec_id", "query_id"))
+    cand = (qb.join(buckets.filter(~F.col("vec_id").isin(query_ids)),
+                    ["table_id", "bucket"])
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    qv = F.broadcast(emb.filter(F.col("vec_id").isin(query_ids))
+                     .select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("qv")))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    pairs = cand.join(qv, "query_id").join(nv, "neighbor_id")
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda a, b:
+                                 a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (nrm(F.col("qv")) * nrm(F.col("nv")))
+    scored = pairs.select("query_id", "neighbor_id",
+                          F.round(sim, round_to).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

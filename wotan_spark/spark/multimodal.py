@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched ``mapInPandas`` passes.  The actual media decoding is
+STUBBED (``codec='raw'`` only — no image/audio libraries in this container):
+the Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
+real and tested, and a real decoder drops into ``_decode_payload``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("modality", StringType(), False),   # image | audio | video
+    StructField("codec", StringType(), False),      # raw | jpeg | wav | ...
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("payload", BinaryType(), False),
+])
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("modality", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("sha1", StringType(), False),
+    StructField("features", ArrayType(DoubleType(), True), True),
+])
+
+
+def synth_media(spark: SparkSession, n: int, seed: int = 42,
+                partitions: int | None = None) -> DataFrame:
+    """Deterministic fake media table: raw uint8 payloads shaped like tiny
+    grayscale images / pcm audio clips."""
+    if partitions is None:
+        partitions = max(int(spark.sparkContext.defaultParallelism), 4)
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, i])
+                if i % 2 == 0:
+                    w, h = 16 + i % 16, 16
+                    payload = rng.integers(0, 256, w * h,
+                                           dtype=np.uint8).tobytes()
+                    rows.append((f"img_{i:06d}", "image", "raw", w, h,
+                                 None, None, payload))
+                else:
+                    sr, nf = 8000, 256 + (i % 256)
+                    payload = rng.integers(0, 256, nf,
+                                           dtype=np.uint8).tobytes()
+                    rows.append((f"aud_{i:06d}", "audio", "raw", None, None,
+                                 sr, nf, payload))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              MEDIA_SCHEMA.fields])
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _decode_payload(codec: str, payload: bytes) -> np.ndarray:
+    """Decode a media payload to a flat uint8 sample array.
+
+    Only ``raw`` is implemented in this container; real codecs plug in here.
+    """
+    if codec == "raw":
+        return np.frombuffer(payload, dtype=np.uint8)
+    raise NotImplementedError(
+        f"codec {codec!r}: media decoding libraries are not available in "
+        "this environment — plug a decoder into _decode_payload")
+
+
+def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-item content features (byte histogram as a stand-in embedding)
+    via one packed pass: (media_id, modality, n_bytes, sha1, features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, sizes, digests, feats = [], [], [], [], []
+            for mid, mod, codec, payload in zip(
+                    pdf["media_id"], pdf["modality"], pdf["codec"],
+                    pdf["payload"]):
+                raw = bytes(payload)
+                arr = _decode_payload(codec, raw)
+                hist = np.histogram(arr, bins=n_bins, range=(0, 256))[0]
+                total = max(int(hist.sum()), 1)
+                ids.append(mid)
+                mods.append(mod)
+                sizes.append(len(raw))
+                digests.append(hashlib.sha1(raw).hexdigest())
+                feats.append((hist / total).astype(np.float64))
+            yield pd.DataFrame({
+                "media_id": ids, "modality": mods, "n_bytes": sizes,
+                "sha1": digests, "features": feats})
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame/sample decimation for video/audio payloads: keep every
+    ``every``-th sample — the downsample-retention idea applied to media
+    (real frame extraction plugs into _decode_payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            frames = []
+            for codec, payload, nf in zip(pdf["codec"], pdf["payload"],
+                                          pdf["n_frames"]):
+                arr = _decode_payload(codec, bytes(payload))
+                kept = arr[::every]
+                payloads.append(kept.tobytes())
+                frames.append(len(kept) if nf is not None else None)
+            out["payload"] = payloads
+            out["n_frames"] = pd.array(frames, dtype="Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def dedup_media_exact(media: DataFrame) -> DataFrame:
+    """Exact media dedup on content hash — pure Catalyst (sha1 over binary
+    is a built-in), no UDF."""
+    return (media.groupBy(F.sha1("payload").alias("content_sha1"))
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("media_id").alias("keeper"))
+            .filter(F.col("dup_count") > 1))

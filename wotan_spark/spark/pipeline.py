@@ -166,3 +166,38 @@ class Pipeline:
             out["blocks"] = self._commit_stage("blocks", blocks, fp, det_sid,
                                                run_id, t0)
         return out
+
+    # ------------------------------------------------------------------
+    def update_incremental(self, new_sequences: DataFrame,
+                           run_id: str | None = None) -> dict:
+        """Continuous-aggregate update for late/new sequences: fused
+        detrend+tier10 on ONLY the new rows, MERGE-upserted into the tier
+        tables keyed on (doc_id, bucket) — the batch equivalent of the
+        streaming ingestion path; raw history is never recomputed."""
+        from wotan_spark.spark.rollup import cascade_tier, detrend_rollup_fused
+        run_id = run_id or f"inc-{int(time.time())}"
+        cfg = self.config
+        t0 = time.time()
+        self.tables["sequences"].append(new_sequences, run_id=run_id,
+                                        incremental=True)
+        seq_sid = self.tables["sequences"].current_snapshot_id()
+        t10_new = detrend_rollup_fused(
+            self.tables["sequences"].read(self.spark)
+                .join(new_sequences.select("doc_id"), "doc_id", "left_semi"),
+            cfg.method, factor=cfg.tier_factor,
+            window_length=cfg.window_length, **cfg.params)
+        sid10 = self.tables["tier10"].merge_buckets(
+            self.spark, t10_new, keys=["doc_id", "bucket"],
+            run_id=run_id, fingerprint=cfg.fingerprint())
+        t100_new = cascade_tier(t10_new, step=cfg.tier_factor)
+        sid100 = self.tables["tier100"].merge_buckets(
+            self.spark, t100_new, keys=["doc_id", "bucket"],
+            run_id=run_id, fingerprint=cfg.fingerprint())
+        wall = time.time() - t0
+        lineage = _file_lineage(self.tables["tier10"], sid10, seq_sid,
+                                run_id, "tier10-incremental", wall)
+        if lineage:
+            self.tables["lineage"].append(
+                self.spark.createDataFrame(lineage), stage="tier10-inc",
+                run_id=run_id)
+        return {"tier10": sid10, "tier100": sid100}

@@ -17,6 +17,7 @@ whose estimator NaN-ed the edge).
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -46,34 +47,32 @@ TIER_SCHEMA = StructType([
 ])
 
 
-def _bucket_stats(t: np.ndarray, v: np.ndarray, factor: int,
-                  with_median: bool = True):
-    """Per-bucket (t div factor) nan-aware stats of v, vectorized via
-    reduceat over the sorted (already ordered) time axis."""
-    buckets = (t // factor).astype(np.int64)
-    # bucket boundaries in the dense ordered array
-    edges = np.flatnonzero(np.diff(buckets)) + 1
-    starts = np.concatenate(([0], edges))
-    ids = buckets[starts]
-    ok = ~np.isnan(v)
-    vz = np.where(ok, v, 0.0)
-    cnt = np.add.reduceat(ok.astype(np.int64), starts)
-    s = np.add.reduceat(vz, starts)
+def _bucket_stats(v: np.ndarray, factor: int, with_median: bool = True):
+    """Per-bucket nan-aware stats of v over the dense time axis
+    t = 0..n-1 (token index), fully vectorized: pad to a bucket multiple,
+    reshape to (n_buckets, factor), reduce along rows.  No Python loop."""
+    n = len(v)
+    nb = (n + factor - 1) // factor
+    pad = nb * factor - n
+    vp = np.concatenate([v, np.full(pad, np.nan)]) if pad else v
+    M = vp.reshape(nb, factor)
+    ok = ~np.isnan(M)
+    cnt = ok.sum(axis=1).astype(np.int64)
+    s = np.where(ok, M, 0.0).sum(axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(cnt > 0, s / cnt, np.nan)
     s = np.where(cnt > 0, s, np.nan)
-    mins = np.full(len(ids), np.nan)
-    maxs = np.full(len(ids), np.nan)
-    meds = np.full(len(ids), np.nan)
-    bounds = np.concatenate((starts, [len(t)]))
-    for j in range(len(ids)):
-        seg = v[bounds[j]:bounds[j + 1]]
-        seg = seg[~np.isnan(seg)]
-        if len(seg):
-            mins[j] = seg.min()
-            maxs[j] = seg.max()
-            if with_median:
-                meds[j] = np.median(seg)
+    mins = np.where(ok, M, np.inf).min(axis=1)
+    mins = np.where(cnt > 0, mins, np.nan)
+    maxs = np.where(ok, M, -np.inf).max(axis=1)
+    maxs = np.where(cnt > 0, maxs, np.nan)
+    if with_median:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            meds = np.nanmedian(M, axis=1)
+    else:
+        meds = np.full(nb, np.nan)
+    ids = np.arange(nb, dtype=np.int64)
     return ids, cnt, s, mean, meds, mins, maxs
 
 
@@ -83,41 +82,82 @@ def rollup_tier10(detrended: DataFrame, factor: int = 10) -> DataFrame:
 
     def roll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "bucket", "n", "y_sum", "y_mean",
-                                   "y_median", "y_min", "y_max", "trend_n",
-                                   "trend_sum", "trend_mean", "flat_n",
-                                   "flat_sum", "flat_mean")}
+            parts: dict[str, list[np.ndarray]] = {
+                k: [] for k in ("bucket", "n", "y_sum", "y_mean", "y_median",
+                                "y_min", "y_max", "trend_n", "trend_sum",
+                                "trend_mean", "flat_n", "flat_sum",
+                                "flat_mean")}
+            doc_ids: list[np.ndarray] = []
             for doc_id, tokens, flat, trend in zip(
                     pdf["doc_id"], pdf["tokens"], pdf["flat"], pdf["trend"]):
                 y = decode_tokens(np.asarray(tokens, dtype=np.int32))
                 flat = np.asarray(flat, dtype=np.float64)
                 trend = np.asarray(trend, dtype=np.float64)
-                t = np.arange(len(y), dtype=np.int64)
                 ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(
-                    t, y, factor)
+                    y, factor)
                 _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
-                    t, trend, factor, with_median=False)
+                    trend, factor, with_median=False)
                 _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
-                    t, flat, factor, with_median=False)
-                k = len(ids)
-                out["doc_id"].extend([doc_id] * k)
-                out["bucket"].extend(ids.tolist())
-                out["n"].extend(cnt.tolist())
-                out["y_sum"].extend(ysum.tolist())
-                out["y_mean"].extend(ymean.tolist())
-                out["y_median"].extend(ymed.tolist())
-                out["y_min"].extend(ymin.tolist())
-                out["y_max"].extend(ymax.tolist())
-                out["trend_n"].extend(tcnt.tolist())
-                out["trend_sum"].extend(tsum.tolist())
-                out["trend_mean"].extend(tmean.tolist())
-                out["flat_n"].extend(fcnt.tolist())
-                out["flat_sum"].extend(fsum.tolist())
-                out["flat_mean"].extend(fmean.tolist())
-            pdf_out = pd.DataFrame(out)
-            yield pdf_out
+                    flat, factor, with_median=False)
+                doc_ids.append(np.repeat(doc_id, len(ids)))
+                for key, arr in (("bucket", ids), ("n", cnt),
+                                 ("y_sum", ysum), ("y_mean", ymean),
+                                 ("y_median", ymed), ("y_min", ymin),
+                                 ("y_max", ymax), ("trend_n", tcnt),
+                                 ("trend_sum", tsum), ("trend_mean", tmean),
+                                 ("flat_n", fcnt), ("flat_sum", fsum),
+                                 ("flat_mean", fmean)):
+                    parts[key].append(arr)
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {k: [] for k in ["doc_id"] + list(parts)})
+                continue
+            out = {"doc_id": np.concatenate(doc_ids)}
+            out.update({k: np.concatenate(v) for k, v in parts.items()})
+            yield pd.DataFrame(out)
 
     return detrended.mapInPandas(roll, schema=TIER_SCHEMA)
+
+
+def detrend_rollup_fused(df: DataFrame, method: str = "biweight",
+                         factor: int = 10, **params) -> DataFrame:
+    """Fused detrend + tier rollup in ONE ``mapInPandas`` pass: half the
+    Arrow traffic of chaining the two operators (the full-resolution
+    flat/trend arrays never cross back into the JVM), zero shuffle.  The
+    pipeline hot path when only tier tables are needed."""
+    from wotan_spark.spark.detrend_op import _detrend_one
+    params = dict(params, method=method)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("bucket", "n", "y_sum", "y_mean", "y_median", "y_min",
+                "y_max", "trend_n", "trend_sum", "trend_mean", "flat_n",
+                "flat_sum", "flat_mean")
+        for pdf in batches:
+            parts: dict[str, list[np.ndarray]] = {k: [] for k in keys}
+            doc_ids: list[np.ndarray] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                toks = np.asarray(toks, dtype=np.int32)
+                flat, trend = _detrend_one(toks, params)
+                y = decode_tokens(toks)
+                ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(
+                    y, factor)
+                _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
+                    trend, factor, with_median=False)
+                _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
+                    flat, factor, with_median=False)
+                doc_ids.append(np.repeat(doc_id, len(ids)))
+                for key, arr in zip(keys, (ids, cnt, ysum, ymean, ymed, ymin,
+                                           ymax, tcnt, tsum, tmean, fcnt,
+                                           fsum, fmean)):
+                    parts[key].append(arr)
+            if not doc_ids:
+                yield pd.DataFrame({k: [] for k in ("doc_id",) + keys})
+                continue
+            out = {"doc_id": np.concatenate(doc_ids)}
+            out.update({k: np.concatenate(v) for k, v in parts.items()})
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=TIER_SCHEMA)
 
 
 def cascade_tier(tier: DataFrame, step: int = 10) -> DataFrame:

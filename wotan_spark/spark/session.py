@@ -34,6 +34,10 @@ def get_spark(app_name: str = "wotan-spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # one core per task: numpy BLAS threads inside a worker would fight
+        # the executor's own task parallelism
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
