@@ -215,6 +215,37 @@ def q_detrend_biweight_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_detrend_median_packed(spark, sf_dir):
+    """Packed median detrend; the oracle rebuilds the engine's exact window
+    semantics (half-open [t-W/2, t+W/2), last-point cap Q1) with a SQL
+    self-join + median."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="median", window_length=17)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
+def q_blocks_roundtrip(spark, sf_dir):
+    """Gorilla/delta-of-delta block codec: encode -> decode -> aggregate;
+    the oracle aggregates the raw data directly, so a hash match proves the
+    round-trip is lossless end-to-end through Spark."""
+    from wotan_spark.spark.blocks import decode_blocks, encode_blocks
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    blocks = encode_blocks(seq, column="tokens", codec="dod", block_size=512)
+    dec = decode_blocks(blocks)
+    block_sum = F.aggregate("values", F.lit(0.0), lambda a, x: a + x)
+    return (dec.groupBy("doc_id")
+            .agg(F.sum(block_sum).cast("long").alias("token_sum"),
+                 F.sum(F.size("values")).alias("n_tok")))
+
+
 def q_slide_clip_packed(spark, sf_dir):
     """Order-dependent sliding clipper (quirk Q9) — rows-only check."""
     from wotan_spark.spark.ops import slide_clip_sequences
@@ -294,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_clip_count": _wrap(q_sigma_clip_count),
         "detrend_mean_packed": _wrap(q_detrend_mean_packed),
         "detrend_biweight_packed": _wrap(q_detrend_biweight_packed),
+        "detrend_median_packed": _wrap(q_detrend_median_packed),
+        "blocks_roundtrip": _wrap(q_blocks_roundtrip),
         "slide_clip_packed": _wrap(q_slide_clip_packed),
         "dedup_exact": _wrap(q_dedup_exact),
         "doc_fingerprint": _wrap(q_doc_fingerprint),
@@ -512,6 +545,42 @@ def oracle_sql() -> dict[str, str]:
                round(sum(y / trend), 6) AS flat_sum,
                count(y / trend) AS n_pts
         FROM tr GROUP BY 1
+    """
+
+    sqls["detrend_median_packed"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        win AS (
+            SELECT p.user_id, p.t, p.y, median(q.y) AS trend
+            FROM lim p
+            JOIN st ON st.user_id = p.user_id
+            JOIN lim q ON q.user_id = p.user_id
+                 AND q.t BETWEEN p.t - 8 AND p.t + 8
+                 AND q.t < st.t_max
+            GROUP BY p.user_id, p.t, p.y)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM win GROUP BY 1
+    """
+
+    sqls["blocks_roundtrip"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   round(value * 1000) AS tok
+            FROM events)
+        SELECT 'user_' || user_id AS doc_id,
+               sum(tok)::BIGINT AS token_sum,
+               count(*) AS n_tok
+        FROM seq WHERE t < 4096 GROUP BY 1
     """
 
     sqls["dedup_exact"] = """

@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the plans must stay the plans we designed.
+
+These guard the scale properties the engine is built around — if a future
+change introduces an exchange into the packed path or loses predicate
+pushdown, these fail before any benchmark would notice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from wotan_spark.spark.datapipe import cosine_topk
+from wotan_spark.spark.rollup import detrend_rollup_fused, rollup_tier10
+from wotan_spark.spark.detrend_op import detrend_sequences
+from wotan_spark.spark.synth import synth_sequences
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_packed_pipeline_has_no_shuffle(spark, tmp_path):
+    path = str(tmp_path / "seq")
+    synth_sequences(spark, 8, median_len=100, max_len=200) \
+        .write.parquet(path)
+    seq = spark.read.parquet(path)
+    fused = detrend_rollup_fused(seq, "mean", window_length=17)
+    plan = _plan(fused)
+    assert "Exchange" not in plan, f"packed pipeline must not shuffle:\n{plan}"
+    chained = rollup_tier10(detrend_sequences(seq, method="mean",
+                                              window_length=17,
+                                              keep_tokens=True))
+    assert "Exchange" not in _plan(chained)
+
+
+def test_source_filter_pushed_to_scan(spark, tmp_path):
+    path = str(tmp_path / "seq")
+    synth_sequences(spark, 8, median_len=100, max_len=200) \
+        .write.parquet(path)
+    seq = spark.read.parquet(path).filter(F.col("source") == "web")
+    fused = detrend_rollup_fused(seq, "mean", window_length=17)
+    plan = _plan(fused)
+    assert "PushedFilters" in plan and "source" in plan.split(
+        "PushedFilters")[1][:120], \
+        f"source filter should reach the parquet scan:\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "seq")
+    synth_sequences(spark, 8, median_len=100, max_len=200) \
+        .write.parquet(path)
+    seq = spark.read.parquet(path)
+    # a projection that only needs doc_id/n_tok must not read tokens
+    slim = seq.select("doc_id", "n_tok")
+    plan = _plan(slim)
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in scan_schema, \
+        f"tokens must be pruned from the scan: {scan_schema}"
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, [0, 1], k=2))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
+        f"query side should broadcast:\n{plan}"
