@@ -258,6 +258,54 @@ def q_slide_clip_packed(spark, sf_dir):
                           F.size("tokens").alias("n_total"))
 
 
+def q_topk_buckets(spark, sf_dir):
+    """Top-3 hourly buckets by mean value per user (rank window over the
+    tier-10 rollup) — sorts/limits/top-k coverage."""
+    ev = _events(spark, sf_dir)
+    t10 = (ev.groupBy("user_id",
+                      F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+                      .alias("bucket"))
+           .agg(F.round(F.avg("value"), 6).alias("y_mean"),
+                F.count("*").alias("n")))
+    w = Window.partitionBy("user_id").orderBy(F.col("y_mean").desc(),
+                                              F.col("bucket"))
+    return (t10.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("user_id", "bucket", "y_mean", "n", "rank"))
+
+
+def q_detrend_chunked_packed(spark, sf_dir):
+    """Skew path: overlap-chunked detrend (salted repartition + trim +
+    reassemble).  Must produce identical sums to the unchunked operator —
+    rows-only here; exactness is pytest-proven (chunked == unchunked)."""
+    from wotan_spark.spark.detrend_op import detrend_sequences_chunked
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences_chunked(seq, method="mean", window_length=17,
+                                    chunk_size=32)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
+def q_detrend_rspline_packed(spark, sf_dir):
+    """Iteratively clipped LSQ-spline detrend (north-star method) — not
+    SQL-expressible (iterative B-spline fits); rows-only."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="rspline", window_length=17)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from wotan_spark.spark.datapipe import dedup_exact
     return dedup_exact(_docs(spark, sf_dir))
@@ -328,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_median_packed": _wrap(q_detrend_median_packed),
         "blocks_roundtrip": _wrap(q_blocks_roundtrip),
         "slide_clip_packed": _wrap(q_slide_clip_packed),
+        "topk_buckets": _wrap(q_topk_buckets),
+        "detrend_chunked_packed": _wrap(q_detrend_chunked_packed),
+        "detrend_rspline_packed": _wrap(q_detrend_rspline_packed),
         "dedup_exact": _wrap(q_dedup_exact),
         "doc_fingerprint": _wrap(q_doc_fingerprint),
         "text_stats": _wrap(q_text_stats),
@@ -581,6 +632,18 @@ def oracle_sql() -> dict[str, str]:
                sum(tok)::BIGINT AS token_sum,
                count(*) AS n_tok
         FROM seq WHERE t < 4096 GROUP BY 1
+    """
+
+    sqls["topk_buckets"] = f"""
+        WITH t10 AS (
+            SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
+                   round(avg(value), 6) AS y_mean, count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, bucket, y_mean, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY y_mean DESC, bucket) AS rank
+        FROM t10
+        QUALIFY rank <= 3
     """
 
     sqls["dedup_exact"] = """

@@ -95,16 +95,18 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     only wide shuffle is on (band_id, band_hash) buckets."""
     sig = minhash_signatures(docs, n)
     n_bands = len(MINHASH_COEFFS) // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}").cast("string")
-                for j in range(band_size)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
+    # one explode instead of a union of n_bands selects: the signature
+    # subtree (shingles + hash + groupBy) is evaluated once, not n_bands x
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"h{b * band_size + j}").cast("string")
+                for j in range(band_size)])).alias("band_hash"))
+        for b in range(n_bands)]
+    all_bands = (sig.select("doc_id",
+                            F.explode(F.array(*band_structs)).alias("band"))
+                 .select("doc_id", "band.band_id", "band.band_hash"))
     pairs = (all_bands.alias("x").join(all_bands.alias("y"),
                                        ["band_id", "band_hash"])
              .filter(F.col("x.doc_id") < F.col("y.doc_id"))

@@ -114,4 +114,9 @@ def sequences_from_events(spark: SparkSession, sf_dir: str,
                          1, max_tokens).alias("tokens"),
                  F.lit("events").alias("source"))
              .withColumn("n_tok", F.size("tokens").cast("int")))
-    return agg.select("doc_id", "tokens", "n_tok", "source")
+    out = agg.select("doc_id", "tokens", "n_tok", "source")
+    # AQE coalesces the small groupBy output to very few partitions, which
+    # would starve the downstream per-series pandas-UDF stages — spread by
+    # doc_id hash to the session's parallelism
+    par = max(int(spark.sparkContext.defaultParallelism), 8)
+    return out.repartition(par, "doc_id")
