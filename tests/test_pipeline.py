@@ -85,3 +85,17 @@ def test_pipeline_config_change_triggers_recompute(spark, tmp_path):
     p2 = Pipeline(spark, root, PipelineConfig(method="median", window_length=17))
     out = p2.run()
     assert "detrended" in out  # fingerprint change -> stage re-ran
+
+
+def test_read_with_stats_pruning(spark, tmp_path):
+    from wotan_spark.spark.synth import synth_sequences
+    t = SnapshotTable(str(tmp_path / "pruned"))
+    seq = synth_sequences(spark, 40, median_len=60, max_len=120) \
+        .repartitionByRange(8, "doc_id")
+    t.overwrite(seq)
+    full = t.read(spark).count()
+    narrow = t.read(spark, where=("doc_id", "doc_00000010", "doc_00000014"))
+    assert narrow.count() == 5
+    # range-clustered files -> most files pruned by manifest stats
+    assert t.last_scan["files_pruned"] > t.last_scan["files_read"]
+    assert full == 40

@@ -90,7 +90,41 @@ class SnapshotTable:
     def _write_data(self, df: DataFrame) -> str:
         d = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(d)
+        self._write_file_stats(d)
         return d
+
+    def _write_file_stats(self, d: str) -> None:
+        """Per-file column min/max stats (the Iceberg manifest-stats model)
+        used for scan pruning in ``read(where=...)``."""
+        import pyarrow.parquet as pq
+        stats: dict[str, dict] = {}
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            meta = pq.read_metadata(os.path.join(d, fn))
+            cols: dict[str, list] = {}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    name = col.path_in_schema
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], lo),
+                                      max(cols[name][1], hi)]
+                    else:
+                        cols[name] = [lo, hi]
+            stats[fn] = {"rows": meta.num_rows, "columns": cols}
+        with open(os.path.join(d, "_file_stats.json"), "w") as f:
+            json.dump(stats, f, default=str)
 
     def append(self, df: DataFrame, **meta) -> int:
         d = self._write_data(df)
@@ -115,16 +149,47 @@ class SnapshotTable:
         return self.overwrite(merged, **meta)
 
     # -- read ----------------------------------------------------------------
-    def read(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             where: tuple | None = None) -> DataFrame | None:
+        """Read a snapshot.  ``where=(col, lo, hi)`` prunes whole data files
+        whose manifest min/max stats cannot overlap [lo, hi] — the Iceberg
+        scan-pruning model — and applies the residual filter (so results are
+        exact even where stats were absent)."""
         sid = snapshot_id if snapshot_id is not None \
             else self.current_snapshot_id()
         if sid is None:
             return None
-        files = self._manifest(sid)["files"]
-        if not files:
+        dirs = self._manifest(sid)["files"]
+        if not dirs:
             return None
-        return spark.read.parquet(*files)
+        if where is None:
+            return spark.read.parquet(*dirs)
+        col, lo, hi = where
+        paths, pruned = [], 0
+        for d in dirs:
+            stats = self._load_stats(d)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                c = (stats or {}).get(fn, {}).get("columns", {}).get(col)
+                if c is not None and (c[1] < lo or c[0] > hi):
+                    pruned += 1
+                    continue
+                paths.append(os.path.join(d, fn))
+        self.last_scan = {"files_read": len(paths), "files_pruned": pruned}
+        if not paths:
+            schema = spark.read.parquet(*dirs).schema
+            return spark.createDataFrame([], schema)
+        from pyspark.sql import functions as F
+        return (spark.read.parquet(*paths)
+                .filter(F.col(col).between(lo, hi)))
+
+    def _load_stats(self, d: str) -> dict | None:
+        try:
+            with open(os.path.join(d, "_file_stats.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
         sid = snapshot_id if snapshot_id is not None \
