@@ -306,6 +306,44 @@ def q_detrend_rspline_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_token_invariant_chunked(spark, sf_dir):
+    """The input_hint per-row invariant, checked distributed: token arrays
+    survive the salt/chunk/repartition/reassemble path bit-exactly.  The
+    oracle trivially asserts every doc must pass — the engine side has to
+    actually rebuild and compare the arrays."""
+    from wotan_spark.spark.detrend_op import split_chunks
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    chunks = split_chunks(seq, chunk_size=16, overlap=8).repartition(32)
+    core = chunks.select(
+        "doc_id", "chunk_id",
+        F.expr("slice(tokens, lead + 1, core)").alias("core_tokens"))
+    rebuilt = (core.groupBy("doc_id")
+               .agg(F.flatten(F.array_sort(F.collect_list(
+                   F.struct("chunk_id", "core_tokens")))
+                   .getField("core_tokens")).alias("tokens_rebuilt")))
+    joined = seq.join(rebuilt, "doc_id")
+    equal = (F.col("tokens") == F.col("tokens_rebuilt")).cast("long")
+    return joined.agg(F.count("*").alias("n_docs_total"),
+                      F.sum(equal).alias("n_docs_token_equal"))
+
+
+def q_detrend_points_longform(spark, sf_dir):
+    """Long-form (exploded) detrend entry point — applyInPandas per doc;
+    values identical to the packed path, here oracle-checked against the
+    same SQL window reconstruction as detrend_mean_packed."""
+    from wotan_spark.spark.detrend_op import detrend_points
+    from wotan_spark.spark.rollup import explode_points
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    pts = explode_points(seq)
+    out = detrend_points(pts, method="mean", window_length=17)
+    return (out.filter(~F.isnan("flat") & F.col("flat").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("flat"), 6).alias("flat_sum"),
+                 F.count("flat").alias("n_pts")))
+
+
 def q_dedup_exact(spark, sf_dir):
     from wotan_spark.spark.datapipe import dedup_exact
     return dedup_exact(_docs(spark, sf_dir))
@@ -377,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocks_roundtrip": _wrap(q_blocks_roundtrip),
         "slide_clip_packed": _wrap(q_slide_clip_packed),
         "topk_buckets": _wrap(q_topk_buckets),
+        "token_invariant_chunked": _wrap(q_token_invariant_chunked),
+        "detrend_points_longform": _wrap(q_detrend_points_longform),
         "detrend_chunked_packed": _wrap(q_detrend_chunked_packed),
         "detrend_rspline_packed": _wrap(q_detrend_rspline_packed),
         "dedup_exact": _wrap(q_dedup_exact),
@@ -633,6 +673,14 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_tok
         FROM seq WHERE t < 4096 GROUP BY 1
     """
+
+    sqls["token_invariant_chunked"] = """
+        SELECT count(*) AS n_docs_total,
+               count(*) AS n_docs_token_equal
+        FROM (SELECT DISTINCT user_id FROM events)
+    """
+
+    sqls["detrend_points_longform"] = sqls["detrend_mean_packed"]
 
     sqls["topk_buckets"] = f"""
         WITH t10 AS (

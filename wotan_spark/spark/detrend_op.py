@@ -89,6 +89,39 @@ def detrend_sequences(df: DataFrame, method: str = "biweight",
     return df.mapInPandas(run, schema=schema)
 
 
+def detrend_points(points: DataFrame, method: str = "biweight",
+                   **params) -> DataFrame:
+    """Long-form entry point: (doc_id, t, y[, ...]) -> adds trend/flat.
+
+    For callers whose data is already exploded.  One ``applyInPandas`` per
+    doc_id (shuffle on doc_id — unavoidable in long form; the packed
+    ``detrend_sequences`` is the shuffle-free fast path and produces
+    identical values, tested)."""
+    params = dict(params, method=method)
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("t", LongType(), False),
+        StructField("y", DoubleType(), True),
+        StructField("trend", DoubleType(), True),
+        StructField("flat", DoubleType(), True),
+    ])
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        res = detrend_series(t, y, **params)
+        return pd.DataFrame({
+            "doc_id": np.repeat(key[0], len(t)),
+            "t": t.astype(np.int64),
+            "y": y,
+            "trend": res.trend_lc,
+            "flat": res.flatten_lc,
+        })
+
+    return points.groupBy("doc_id").applyInPandas(run, schema=schema)
+
+
 def split_chunks(df: DataFrame, chunk_size: int, overlap: int) -> DataFrame:
     """Explode long sequences into overlapping chunk rows.
 
