@@ -39,8 +39,9 @@ def test_medfilt_constant_series():
     y = np.full(10, 7.0)
     # kernel 5: first window [0,0,7,7,7] -> median still 7
     npt.assert_array_equal(medfilt(y, 5), y)
-    # kernel 7: first window [0,0,0,7,7,7,7] -> median 7; but a 5-point
-    # series with kernel 9 has majority-pad edge windows -> 0 at the ends
-    short = np.full(5, 7.0)
-    out = medfilt(short, 9)
-    assert out[0] == 0.0 and out[-1] == 0.0 and out[2] == 7.0
+    # zero-pads become the median when they are the window majority:
+    # kernel 7 on a 4-point series -> edge windows hold 3 pads + 4 values
+    short = np.array([7.0, 7.0, 7.0, 0.5])
+    out = medfilt(short, 7)
+    # window at index 0: [0,0,0,7,7,7,.5] -> median 0.5
+    assert out[0] == 0.5
