@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import numpy.testing as npt
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from tests.conftest import reference_module
@@ -40,9 +40,20 @@ def test_slider_property_parity(seed, n, dup, gap, method):
     time, flux = _series(seed, n, dup, gap)
     cval = cvals.get(method, 0.0)
     with np.errstate(all="ignore"):
-        ref = ref_slider.running_segment(time.copy(), flux.copy(),
-                                         np.ones(n), 0.4, 0.0, cval,
-                                         codes[method])
+        try:
+            ref = ref_slider.running_segment(time.copy(), flux.copy(),
+                                             np.ones(n), 0.4, 0.0, cval,
+                                             codes[method])
+        except (IndexError, ZeroDivisionError):
+            # The reference itself crashes on these inputs (winsorize with a
+            # 1-point window hits sorted_data[idx] out of bounds,
+            # wotan/location_estimates.py:132; tau divides by a zero weight
+            # denominator, :85).  Parity is undefined where the oracle has no
+            # defined output — our engine returns NaN for those windows.
+            got = running_slider(time, flux, np.ones(n), 0.4, 0.0, cval,
+                                 method)
+            assert got.shape == (n,)
+            assume(False)
         got = running_slider(time, flux, np.ones(n), 0.4, 0.0, cval, method)
     npt.assert_allclose(got, ref, rtol=1e-8, atol=1e-11, equal_nan=True)
 
