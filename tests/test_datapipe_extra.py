@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
-from wotan_spark.spark.datapipe import cosine_topk, cosine_topk_lsh
+import numpy as np
+
+from wotan_spark.spark.datapipe import (cosine_topk, cosine_topk_ivf,
+                                        cosine_topk_lsh, ivf_assign,
+                                        ivf_centroids)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -18,6 +22,35 @@ def test_lsh_ann_recall(spark):
     # few planes + several tables: high recall on 500 vectors
     assert recall >= 0.6, f"LSH recall too low: {recall}"
     # candidates are a strict subset of the corpus; ranks well-formed
+    for r in approx:
+        assert 1 <= r.rank <= 5
+        assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    C = ivf_centroids(emb, n_centroids=8)
+    assert C.shape[0] == 8
+    np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0, rtol=1e-9)
+    assigned = ivf_assign(emb, C)
+    assert assigned.count() == n                      # total partition
+    cells = assigned.groupBy("centroid_id").count().collect()
+    assert len(cells) >= 2                            # corpus actually splits
+    assert sum(r["count"] for r in cells) == n
+
+
+def test_ivf_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=5).collect()
+    approx = cosine_topk_ivf(emb, qids, k=5, n_centroids=8,
+                             nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells on 500 vectors: near-exact
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
     for r in approx:
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.cos_sim <= 1.0

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from wotan_spark.spark.multimodal import (dedup_media_exact, extract_features,
-                                          frame_sample, synth_media)
+                                          frame_sample, resize_media,
+                                          synth_media)
 
 
 def test_media_features_roundtrip(spark):
@@ -31,6 +32,24 @@ def test_frame_sample_decimates(spark):
         expect = (orig[r.media_id] + 3) // 4
         assert len(bytes(r.payload)) == expect
         assert r.n_frames == expect
+
+
+def test_resize_media_images_only(spark):
+    media = synth_media(spark, 10)
+    out = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    for mid, r in out.items():
+        if r.modality == "image":
+            assert (r.width, r.height) == (8, 8)
+            assert len(bytes(r.payload)) == 64
+            # nearest-neighbor: every output byte exists in the source image
+            src = np.frombuffer(bytes(orig[mid].payload), dtype=np.uint8)
+            dst = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+            assert np.isin(dst, src).all()
+            # corner pixel is exact under the floor-index gather
+            assert dst[0] == src[0]
+        else:  # audio passes through untouched
+            assert bytes(r.payload) == bytes(orig[mid].payload)
 
 
 def test_unknown_codec_raises(spark):

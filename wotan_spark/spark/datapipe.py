@@ -243,6 +243,115 @@ def cosine_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 3,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, n_iter: int = 8,
+                  seed: int = 11, sample: int = 4096):
+    """Train a spherical k-means coarse quantizer on a deterministic sample.
+
+    Returns a unit-normalized ``[n_centroids, dim]`` ndarray.  Training runs
+    driver-side on a bounded sample (at corpus scale: ``emb.sample(frac)``)
+    — cost O(sample * C * iter), negligible next to the assignment scan,
+    and the centroid table broadcast to executors is a few KB.
+    """
+    import numpy as np
+
+    pdf = (emb.orderBy("vec_id").limit(sample).select("embedding").toPandas())
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        norms = np.linalg.norm(newC, axis=1, keepdims=True)
+        dead = norms[:, 0] < 1e-12          # empty cluster: keep old centroid
+        newC = np.where(dead[:, None], C, newC / np.clip(norms, 1e-12, None))
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, centroid_id): nearest-centroid assignment, one shuffle-free
+    Arrow pass with the centroid matrix closed over (broadcast)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    C = np.asarray(centroids, dtype=np.float64)
+    out_schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("centroid_id", IntegerType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12, None)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "centroid_id": (M @ C.T).argmax(axis=1).astype(np.int32)})
+
+    return emb.mapInPandas(run, schema=out_schema)
+
+
+def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 3,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    round_to: int = 5) -> DataFrame:
+    """Approximate cosine top-k via an IVF coarse quantizer: probe the
+    ``nprobe`` nearest centroid cells per query, exact-rerank only inside
+    probed cells.  Same output shape as cosine_topk.
+
+    Scale path: assignment is one narrow scan; the probe list is a tiny
+    broadcast dim; the rerank join touches ~nprobe/n_centroids of the corpus.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    C = ivf_centroids(emb, n_centroids=n_centroids)
+    assigned = ivf_assign(emb, C)
+
+    qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "embedding").toPandas())
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qpdf["embedding"]])
+    Q = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    probes = [(int(qid), int(cid))
+              for qid, row in zip(qpdf["vec_id"], order) for cid in row]
+    probe_df = F.broadcast(spark.createDataFrame(
+        probes, schema="query_id long, centroid_id int"))
+
+    cand = (probe_df.join(assigned, "centroid_id")
+            .filter(~F.col("vec_id").isin(query_ids))
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    qv = F.broadcast(emb.filter(F.col("vec_id").isin(query_ids))
+                     .select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("qv")))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    pairs = cand.join(qv, "query_id").join(nv, "neighbor_id")
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda a, b:
+                                 a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (nrm(F.col("qv")) * nrm(F.col("nv")))
+    scored = pairs.select("query_id", "neighbor_id",
+                          F.round(sim, round_to).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

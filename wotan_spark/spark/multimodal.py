@@ -133,6 +133,41 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     return media.mapInPandas(run, schema=media.schema)
 
 
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize for image payloads; non-image rows pass
+    through untouched.  The gather is a vectorized ``np.ix_`` index —
+    a real resampler (PIL/opencv) would plug into _decode_payload and
+    replace the index arithmetic only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, ws, hs = [], [], []
+            for mod, codec, payload, w, h in zip(
+                    pdf["modality"], pdf["codec"], pdf["payload"],
+                    pdf["width"], pdf["height"]):
+                raw = bytes(payload)
+                if mod != "image" or pd.isna(w) or pd.isna(h):
+                    payloads.append(raw)
+                    ws.append(None if pd.isna(w) else int(w))
+                    hs.append(None if pd.isna(h) else int(h))
+                    continue
+                w, h = int(w), int(h)
+                img = _decode_payload(codec, raw).reshape(h, w)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                payloads.append(img[np.ix_(yi, xi)].astype(np.uint8)
+                                .tobytes())
+                ws.append(out_w)
+                hs.append(out_h)
+            out["payload"] = payloads
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
 def dedup_media_exact(media: DataFrame) -> DataFrame:
     """Exact media dedup on content hash — pure Catalyst (sha1 over binary
     is a built-in), no UDF."""
