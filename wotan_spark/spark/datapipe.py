@@ -25,6 +25,18 @@ def _words(col):
     return F.split(F.lower(F.col(col)), " ")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan produced
+    fewer partitions (small file count) — the downstream shingle explode is
+    CPU-bound and must not run on one core.  No-op when the scan already
+    has enough partitions (the 100 TB case), so no extra shuffle at scale.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, *cols) if cols else df.repartition(n)
+    return df
+
+
 def md5_long(col) -> F.Column:
     """Portable 56-bit integer hash of a string column."""
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
@@ -47,8 +59,18 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     w = _words("text")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-    return (docs.filter(F.size(w) >= n)
+    return (_spread(docs, "doc_id").filter(F.size(w) >= n)
             .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def _bucket_pairs(members: F.Column) -> F.Column:
+    """All i<j combinations of a sorted bucket-member array as (a, b)
+    structs — the inverted-index pair expansion, pure Catalyst."""
+    ids = F.array_sort(members)
+    return F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
@@ -56,24 +78,38 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """Near-duplicate candidate pairs by exact n-gram Jaccard similarity:
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
 
-    Shuffles on shingle (the join key); hot shingles are bounded because
-    shingles are distinct per doc.  The per-doc shingle counts are a small
-    aggregate and broadcast into the final join.
+    Inverted-index shape: ONE pass computes distinct shingles + per-doc
+    counts, one shuffle groups (doc_id, n_sh) members per shingle bucket,
+    pairs expand inside the bucket (array combinations, no self-join — a
+    self-join would evaluate the shingle subtree twice), and one final
+    shuffle aggregates intersection counts per pair.  Join keys are 56-bit
+    md5-derived longs, not shingle strings: ~3x smaller shuffle rows.
     """
-    sh = word_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (sh.alias("x").join(sh.alias("y"), "shingle")
-             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-             .groupBy(F.col("x.doc_id").alias("doc_a"),
-                      F.col("y.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    a = F.broadcast(sizes).alias("sa")
-    b = F.broadcast(sizes).alias("sb")
-    out = (inter.join(a, F.col("doc_a") == F.col("sa.doc_id"))
-           .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+    w = _words("text")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
+    # two-step select: materialize the gram array once, THEN size+explode it
+    # — referencing the transform expression from both size() and explode()
+    # in one projection re-evaluates it per exploded row (~5x slower)
+    sh = (_spread(docs, "doc_id").filter(F.size(w) >= n)
+          .select("doc_id", grams.alias("gr"))
+          .select("doc_id", F.size("gr").alias("n_sh"),
+                  F.explode("gr").alias("shingle"))
+          .select(md5_long(F.col("shingle")).alias("hv"),
+                  F.struct("doc_id", "n_sh").alias("m")))
+    pairs = (sh.groupBy("hv").agg(F.collect_list("m").alias("ms"))
+             .filter(F.size("ms") > 1)
+             .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
+             .select(F.col("p.a.doc_id").alias("doc_a"),
+                     F.col("p.b.doc_id").alias("doc_b"),
+                     F.col("p.a.n_sh").alias("n_a"),
+                     F.col("p.b.n_sh").alias("n_b")))
+    out = (pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
+           .agg(F.count("*").alias("inter"))
            .select("doc_a", "doc_b",
                    (F.col("inter")
-                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                     ).alias("jaccard")))
     return out.filter(F.col("jaccard") >= threshold)
 
@@ -107,11 +143,16 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     all_bands = (sig.select("doc_id",
                             F.explode(F.array(*band_structs)).alias("band"))
                  .select("doc_id", "band.band_id", "band.band_hash"))
-    pairs = (all_bands.alias("x").join(all_bands.alias("y"),
-                                       ["band_id", "band_hash"])
-             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-             .groupBy(F.col("x.doc_id").alias("doc_a"),
-                      F.col("y.doc_id").alias("doc_b"))
+    # bucket-and-expand instead of a self-join: the self-join would run the
+    # whole signature computation twice (no exchange reuse after the
+    # right side is de-aliased); this shape shuffles it once.
+    pairs = (all_bands.groupBy("band_id", "band_hash")
+             .agg(F.collect_list("doc_id").alias("ids"))
+             .filter(F.size("ids") > 1)
+             .select("band_id",
+                     F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+             .groupBy(F.col("p.a").alias("doc_a"),
+                      F.col("p.b").alias("doc_b"))
              .agg(F.countDistinct("band_id").alias("n_bands")))
     return pairs
 
