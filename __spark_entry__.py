@@ -390,6 +390,44 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def q_cosine_topk_ivf(spark, sf_dir):
+    """ANN scale path: IVF coarse-quantizer cells + nprobe exact rerank.
+    Approximate, so rows-only in the driver (recall vs brute force is
+    asserted in tests/test_datapipe_extra.py)."""
+    from wotan_spark.spark.datapipe import cosine_topk_ivf
+    return cosine_topk_ivf(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
+                           k=3, n_centroids=8, nprobe=4)
+
+
+def q_tier10_median(spark, sf_dir):
+    """Non-additive rollup statistic (exact median per bucket) — the
+    tier stat that forces cascade tiers to recompute from finer tiers."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+        .alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.median("value"), 6).alias("y_median")))
+
+
+def q_detrend_trim_mean_packed(spark, sf_dir):
+    """Packed detrend with the trimmed-mean robust estimator (reference
+    trim_mean: sort window, drop int(0.1*n) per tail, mean) — oracle
+    reproduces the exact window + trim semantics with DuckDB list
+    functions."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="trim_mean", window_length=17)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def _wrap(fn):
     def g(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shipped(spark)
@@ -428,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _wrap(q_minhash_lsh_pairs),
         "simhash": _wrap(q_simhash),
         "cosine_topk": _wrap(q_cosine_topk),
+        "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
+        "tier10_median": _wrap(q_tier10_median),
+        "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
     }
 
 
@@ -681,6 +722,56 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["detrend_points_longform"] = sqls["detrend_mean_packed"]
+
+    sqls["tier10_median"] = f"""
+        SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
+               count(*) AS n, round(median(value), 6) AS y_median
+        FROM events GROUP BY 1, 2
+    """
+
+    # trimmed-mean slider: same window skeleton as detrend_mean_packed
+    # (half-open window via the Q1 last-point removal), estimator rebuilt
+    # with list functions: sort window, drop int(0.1*n) per tail, mean.
+    sqls["detrend_trim_mean_packed"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        tr AS (
+            SELECT user_id, t, y,
+                   CASE WHEN len(v) > 0 THEN list_avg(
+                       (list_sort(v))[cast(floor(len(v) * 0.1) AS INT) + 1 :
+                                      len(v) - cast(floor(len(v) * 0.1) AS INT)])
+                   END AS trend
+            FROM adj)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM tr GROUP BY 1
+    """
 
     sqls["topk_buckets"] = f"""
         WITH t10 AS (
