@@ -428,6 +428,23 @@ def q_detrend_trim_mean_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_detrend_winsorize_packed(spark, sf_dir):
+    """Packed detrend with the winsorized-mean estimator (reference:
+    replace int(0.1*n)+1 values per sorted tail with the boundary value,
+    then mean — note the +1 quirk) — oracle rebuilds it arithmetically
+    from the sorted window list."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="winsorize", window_length=17)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def _wrap(fn):
     def g(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shipped(spark)
@@ -469,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
         "tier10_median": _wrap(q_tier10_median),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
+        "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
     }
 
 
@@ -767,6 +785,54 @@ def oracle_sql() -> dict[str, str]:
                                       len(v) - cast(floor(len(v) * 0.1) AS INT)])
                    END AS trend
             FROM adj)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM tr GROUP BY 1
+    """
+
+    # winsorized mean: i = int(0.1*n)+1 values per sorted tail replaced by
+    # the boundary values sv[i+1] / sv[n-i+1] (1-based) — mean computed
+    # arithmetically as (middle_sum + i*low_boundary + i*high_boundary) / n.
+    sqls["detrend_winsorize_packed"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        wz AS (
+            SELECT user_id, t, y, list_sort(v) AS sv, len(v) AS n,
+                   cast(floor(len(v) * 0.1) AS INT) + 1 AS i
+            FROM adj),
+        tr AS (
+            SELECT user_id, t, y,
+                   CASE WHEN i < n
+                        THEN (coalesce(list_sum(sv[i + 1 : n - i]), 0)
+                              + i * sv[i + 1] + i * sv[n - i + 1]) / n
+                   END AS trend
+            FROM wz)
         SELECT 'user_' || user_id AS doc_id,
                round(sum(y / trend), 6) AS flat_sum,
                count(y / trend) AS n_pts
