@@ -428,6 +428,30 @@ def q_detrend_trim_mean_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_rollup_hierarchy(spark, sf_dir):
+    """Multi-level tier aggregate in ONE pass via ROLLUP grouping sets:
+    (user_id, bucket) -> (user_id) -> () super-aggregates, the relational
+    twin of the materialized tier cascade."""
+    ev = _events(spark, sf_dir)
+    bucket = F.expr(
+        f"unix_micros(cast(ts as timestamp)) div {HOUR_US}").alias("bucket")
+    return (ev.select("user_id", bucket, "value")
+            .rollup("user_id", "bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("y_sum")))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Set-op surface (EXCEPT): the doc ids an exact-dedup pass retains —
+    all ids minus the non-keeper members of duplicate groups."""
+    docs = _docs(spark, sf_dir)
+    all_ids = docs.select("doc_id")
+    keep = (docs.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    non_keepers = all_ids.subtract(keep)
+    return all_ids.subtract(non_keepers)
+
+
 def q_detrend_winsorize_packed(spark, sf_dir):
     """Packed detrend with the winsorized-mean estimator (reference:
     replace int(0.1*n)+1 values per sorted tail with the boundary value,
@@ -487,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier10_median": _wrap(q_tier10_median),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
+        "rollup_hierarchy": _wrap(q_rollup_hierarchy),
+        "dedup_survivors": _wrap(q_dedup_survivors),
     }
 
 
@@ -740,6 +766,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["detrend_points_longform"] = sqls["detrend_mean_packed"]
+
+    sqls["rollup_hierarchy"] = f"""
+        SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
+               count(*) AS n, round(sum(value), 6) AS y_sum
+        FROM events GROUP BY ROLLUP (user_id, bucket)
+    """
+
+    sqls["dedup_survivors"] = """
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        nk AS (SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM keep)
+        SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM nk
+    """
 
     sqls["tier10_median"] = f"""
         SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,

@@ -58,6 +58,21 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
         f"tokens must be pruned from the scan: {scan_schema}"
 
 
+def test_dedup_pair_queries_scan_input_once(spark):
+    """The inverted-index pair generators must not self-join: a self-join
+    evaluates the whole shingle/signature subtree twice (exchange reuse
+    does not survive the de-aliasing), so the plan must contain exactly
+    one scan of the documents table."""
+    from wotan_spark.spark.datapipe import (minhash_lsh_pairs,
+                                            ngram_jaccard_pairs)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        plan = _plan(fn(docs))
+        n_scans = plan.count("documents.parquet")
+        assert n_scans == 1, \
+            f"{fn.__name__}: expected 1 scan, found {n_scans}:\n{plan}"
+
+
 def test_cosine_topk_broadcasts_query_side(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(cosine_topk(emb, [0, 1], k=2))
