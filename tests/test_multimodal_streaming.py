@@ -102,3 +102,43 @@ def test_streaming_ingestion_incremental(spark, tmp_path):
     diff = (batch.select("doc_id", "bucket", "y_sum").exceptAll(
         merged.select("doc_id", "bucket", "y_sum"))).count()
     assert diff == 0
+
+
+def test_streaming_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-series state survives micro-batch
+    boundaries — a gap-free segment split across two files is counted
+    once, and a cross-file gap opens exactly one new segment."""
+    import pandas as pd
+    from wotan_spark.spark.streaming import (POINTS_SCHEMA,
+                                             streaming_running_stats)
+
+    landing = tmp_path / "points"
+    landing.mkdir()
+    # file 1: doc_a t=0..4 (one segment), doc_b t=0..2
+    pd.DataFrame({"doc_id": ["a"] * 5 + ["b"] * 3,
+                  "t": [0, 1, 2, 3, 4, 0, 1, 2],
+                  "y": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 11.0, 12.0]}) \
+        .to_parquet(landing / "f1.parquet")
+    # file 2: doc_a continues contiguously (t=5..6: same segment), then a
+    # gap > tolerance (t=100: new segment); doc_b contiguous
+    pd.DataFrame({"doc_id": ["a", "a", "a", "b"],
+                  "t": [5, 6, 100, 3],
+                  "y": [6.0, 7.0, 8.0, 13.0]}) \
+        .to_parquet(landing / "f2.parquet")
+
+    streaming_running_stats(spark, str(landing), str(tmp_path / "ckpt"),
+                            query_name="running_stats", break_tolerance=10,
+                            max_files_per_trigger=1)
+    # memory sink in update mode appends one row per key per batch — the
+    # final state is the last row per doc_id
+    rows = spark.sql("""
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC) AS rn
+            FROM running_stats) WHERE rn = 1""").collect()
+    by_id = {r.doc_id: r for r in rows}
+    a, b = by_id["a"], by_id["b"]
+    assert (a.n, a.last_t, a.n_segments) == (8, 100, 2)
+    assert a.y_sum == 36.0 and (a.y_min, a.y_max) == (1.0, 8.0)
+    assert (b.n, b.last_t, b.n_segments) == (4, 3, 1)
+    assert b.y_sum == 46.0

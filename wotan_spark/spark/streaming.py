@@ -14,7 +14,13 @@ arriving sequences.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
 
 from wotan_spark.spark.lakehouse import SnapshotTable
 from wotan_spark.spark.rollup import detrend_rollup_fused
@@ -47,6 +53,99 @@ def run_ingestion(spark: SparkSession, landing_dir: str, table_root: str,
 
     q = (stream.writeStream
          .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+POINTS_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("t", LongType(), False),
+    StructField("y", DoubleType(), False),
+])
+
+_STATS_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("n", LongType(), False),
+    StructField("y_sum", DoubleType(), False),
+    StructField("y_min", DoubleType(), False),
+    StructField("y_max", DoubleType(), False),
+    StructField("last_t", LongType(), False),
+    StructField("n_segments", LongType(), False),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType(), False),
+    StructField("y_sum", DoubleType(), False),
+    StructField("y_min", DoubleType(), False),
+    StructField("y_max", DoubleType(), False),
+    StructField("last_t", LongType(), False),
+    StructField("n_segments", LongType(), False),
+])
+
+
+def _running_stats_fn(break_tolerance: int):
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, y_sum, y_min, y_max, last_t, n_seg = state.get
+        else:
+            n, y_sum, y_min, y_max, last_t, n_seg = (
+                0, 0.0, float("inf"), float("-inf"), -1, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("t")
+            t = pdf["t"].to_numpy()
+            y = pdf["y"].to_numpy()
+            if len(t) == 0:
+                continue
+            # segment boundaries, including the one spanning the previous
+            # micro-batch (state carries last_t across batches)
+            prev = last_t if n > 0 else None
+            for ti in t:
+                if prev is None or ti - prev > break_tolerance:
+                    n_seg += 1
+                prev = int(ti)
+            n += len(t)
+            y_sum += float(y.sum())
+            y_min = min(y_min, float(y.min()))
+            y_max = max(y_max, float(y.max()))
+            last_t = int(t[-1])
+        state.update((n, y_sum, y_min, y_max, last_t, n_seg))
+        yield pd.DataFrame({
+            "doc_id": [key[0]], "n": [n], "y_sum": [y_sum],
+            "y_min": [y_min], "y_max": [y_max], "last_t": [last_t],
+            "n_segments": [n_seg]})
+
+    return fn
+
+
+def streaming_running_stats(spark: SparkSession, landing_dir: str,
+                            checkpoint_dir: str, query_name: str,
+                            break_tolerance: int = 10,
+                            max_files_per_trigger: int = 1):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-series running stats + gap segmentation whose state (count, sum,
+    min/max, last timestamp, segment counter) survives micro-batch
+    boundaries — a segment spanning two batches is counted once.
+
+    Reads long-form points (doc_id, t, y) from landing parquet, emits the
+    updated per-series row each micro-batch to a memory sink named
+    ``query_name``.  The batch twin of this operator is the lag+sum window
+    segmentation (SURVEY.md §2.2 stage 9)."""
+    stream = (spark.readStream.schema(POINTS_SCHEMA).format("parquet")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(landing_dir))
+    updated = (stream.groupBy("doc_id")
+               .applyInPandasWithState(
+                   _running_stats_fn(break_tolerance),
+                   outputStructType=_STATS_SCHEMA,
+                   stateStructType=_STATE_SCHEMA,
+                   outputMode="update",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (updated.writeStream.format("memory").queryName(query_name)
+         .outputMode("update")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
