@@ -428,6 +428,33 @@ def q_detrend_trim_mean_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_pricing_summary(spark, sf_dir):
+    """Large-table aggregation breadth (TPC-H Q1 shape): partial+final
+    hash agg over lineitem with computed measures — pure Catalyst."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+                 F.round(F.sum(disc), 4).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count("*").alias("n")))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Join breadth: orders x customer x broadcast nation, grouped by
+    nation — the broadcast-dim join pattern of the tier-config joins."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Multi-level tier aggregate in ONE pass via ROLLUP grouping sets:
     (user_id, bucket) -> (user_id) -> () super-aggregates, the relational
@@ -513,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "rollup_hierarchy": _wrap(q_rollup_hierarchy),
         "dedup_survivors": _wrap(q_dedup_survivors),
+        "pricing_summary": _wrap(q_pricing_summary),
+        "revenue_by_nation": _wrap(q_revenue_by_nation),
     }
 
 
@@ -766,6 +795,28 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["detrend_points_longform"] = sqls["detrend_mean_packed"]
+
+    sqls["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY 1, 2
+    """
+
+    sqls["revenue_by_nation"] = """
+        SELECT n_name AS nation, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """
 
     sqls["rollup_hierarchy"] = f"""
         SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
