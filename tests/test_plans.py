@@ -73,8 +73,12 @@ def test_dedup_pair_queries_scan_input_once(spark):
             f"{fn.__name__}: expected 1 scan, found {n_scans}:\n{plan}"
 
 
-def test_cosine_topk_broadcasts_query_side(spark):
+def test_cosine_topk_avoids_cross_join(spark):
+    """Brute-force top-k is a partial-top-k scan (query matrix closed over,
+    per-partition NumPy matmul): the plan must contain no join at all and
+    exactly one scan of the embeddings table — the final exchange carries
+    only k*n_partitions*n_queries candidate rows."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(cosine_topk(emb, [0, 1], k=2))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
-        f"query side should broadcast:\n{plan}"
+    assert "Join" not in plan, f"top-k must not join:\n{plan}"
+    assert plan.count("embeddings.parquet") == 1

@@ -179,28 +179,62 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
                 round_to: int = 5) -> DataFrame:
     """Brute-force cosine top-k: (query_id, neighbor_id, rank, cos_sim).
 
-    The query side is a handful of vectors — broadcast, so the scan of the
-    corpus side stays shuffle-free.  The IVF/LSH variant for the 100 TB path
-    buckets candidates first (see minhash_lsh_pairs for the same pattern).
+    Distributed partial top-k: the query matrix is collected (a handful of
+    vectors) and closed over; each partition scores its corpus slice with
+    one NumPy matmul and emits only its local top-k per query, so the final
+    exchange carries <= k * n_partitions * n_queries candidate rows — never
+    the full |corpus| x |queries| cross join.  Ordering (rounded sim desc,
+    neighbor_id asc) is identical in the partial and global ranks, which
+    makes the global top-k exact.  The IVF/LSH variants bucket candidates
+    first for the sub-scan path.
     """
-    q = F.broadcast(emb.filter(F.col("vec_id").isin(query_ids))
-                    .select(F.col("vec_id").alias("query_id"),
-                            F.col("embedding").alias("qv")))
-    pairs = q.join(emb.filter(~F.col("vec_id").isin(query_ids))
-                   .select(F.col("vec_id").alias("neighbor_id"),
-                           F.col("embedding").alias("nv")))
-    dot = F.aggregate(F.zip_with("qv", "nv", lambda a, b:
-                                 a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sim = (dot / (nrm(F.col("qv")) * nrm(F.col("nv"))))
-    scored = pairs.select("query_id", "neighbor_id",
-                          F.round(sim, round_to).alias("cos_sim"))
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "embedding").toPandas())
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qpdf["embedding"]])
+    qn = np.linalg.norm(Q, axis=1)
+    qids = qpdf["vec_id"].to_numpy()
+    scale = float(10 ** round_to)
+
+    cand_schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("cos_sim", DoubleType(), False),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = ~pdf["vec_id"].isin(query_ids)
+            if not keep.any():
+                continue
+            ids = pdf["vec_id"].to_numpy()[keep.to_numpy()]
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"][keep]])
+            sims = (M @ Q.T) / (np.linalg.norm(M, axis=1)[:, None]
+                                * qn[None, :])
+            # decimal HALF_UP to match SQL round(): rank on the rounded
+            # value so partial and global orderings agree bit-for-bit
+            sims = np.sign(sims) * np.floor(np.abs(sims) * scale
+                                            + 0.5) / scale
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, -sims[:, j]))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cos_sim": out_s})
+
+    cands = emb.mapInPandas(score, schema=cand_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
