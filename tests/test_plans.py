@@ -73,6 +73,20 @@ def test_dedup_pair_queries_scan_input_once(spark):
             f"{fn.__name__}: expected 1 scan, found {n_scans}:\n{plan}"
 
 
+def test_sql_native_paths_stay_jvm_side(spark):
+    """The SQL-expressible operators (range-window slider, tier rollup,
+    gap-fill resampler, transit mask) must contain no Python evaluation
+    node — Python crossings are reserved for the robust kernels.  (Window
+    exec itself never joins whole-stage codegen, so only the negative
+    assertion is checkable pre-execution under AQE.)"""
+    import __spark_entry__ as entry
+    for name in ["mean_slider_range", "tier10_rollup", "gapfill_ffill",
+                 "transit_mask_count", "rollup_hierarchy"]:
+        plan = _plan(entry.queries()[name](spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan, \
+            f"{name} must not cross into Python:\n{plan}"
+
+
 def test_cosine_topk_avoids_cross_join(spark):
     """Brute-force top-k is a partial-top-k scan (query matrix closed over,
     per-partition NumPy matmul): the plan must contain no join at all and
