@@ -239,6 +239,58 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def _rerank_candidates(emb: DataFrame, cand: DataFrame,
+                       query_ids: list[int], k: int,
+                       round_to: int) -> DataFrame:
+    """Exact cosine rerank of (query_id, neighbor_id) candidates: one join
+    to fetch neighbor vectors, query matrix closed over, NumPy scoring per
+    Arrow batch, global top-k window.  Shared by the LSH and IVF paths."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "embedding").toPandas())
+    qvecs = {int(i): np.asarray(v, dtype=np.float64)
+             for i, v in zip(qpdf["vec_id"], qpdf["embedding"])}
+    qnorm = {i: float(np.linalg.norm(v)) for i, v in qvecs.items()}
+    scale = float(10 ** round_to)
+
+    scored_schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("cos_sim", DoubleType(), False),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            nn = np.linalg.norm(M, axis=1)
+            Q = np.stack([qvecs[int(q)] for q in pdf["query_id"]])
+            qn = np.array([qnorm[int(q)] for q in pdf["query_id"]])
+            sims = np.einsum("ij,ij->i", M, Q) / (nn * qn)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * scale
+                                            + 0.5) / scale
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "cos_sim": sims})
+
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (cand.join(nv, "neighbor_id")
+              .select("query_id", "neighbor_id", "embedding")
+              .mapInPandas(score, schema=scored_schema))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
 def lsh_buckets(emb: DataFrame, n_planes: int = 8, n_tables: int = 2,
                 seed: int = 7) -> DataFrame:
     """(vec_id, table_id, bucket) — random-hyperplane (sign) LSH buckets.
@@ -296,26 +348,7 @@ def cosine_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 3,
                     ["table_id", "bucket"])
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
             .distinct())
-    qv = F.broadcast(emb.filter(F.col("vec_id").isin(query_ids))
-                     .select(F.col("vec_id").alias("query_id"),
-                             F.col("embedding").alias("qv")))
-    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("nv"))
-    pairs = cand.join(qv, "query_id").join(nv, "neighbor_id")
-    dot = F.aggregate(F.zip_with("qv", "nv", lambda a, b:
-                                 a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sim = dot / (nrm(F.col("qv")) * nrm(F.col("nv")))
-    scored = pairs.select("query_id", "neighbor_id",
-                          F.round(sim, round_to).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return _rerank_candidates(emb, cand, query_ids, k, round_to)
 
 
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, n_iter: int = 8,
@@ -405,26 +438,7 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 3,
     cand = (probe_df.join(assigned, "centroid_id")
             .filter(~F.col("vec_id").isin(query_ids))
             .select("query_id", F.col("vec_id").alias("neighbor_id")))
-    qv = F.broadcast(emb.filter(F.col("vec_id").isin(query_ids))
-                     .select(F.col("vec_id").alias("query_id"),
-                             F.col("embedding").alias("qv")))
-    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("nv"))
-    pairs = cand.join(qv, "query_id").join(nv, "neighbor_id")
-    dot = F.aggregate(F.zip_with("qv", "nv", lambda a, b:
-                                 a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sim = dot / (nrm(F.col("qv")) * nrm(F.col("nv")))
-    scored = pairs.select("query_id", "neighbor_id",
-                          F.round(sim, round_to).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return _rerank_candidates(emb, cand, query_ids, k, round_to)
 
 
 # ---------------------------------------------------------------------------
