@@ -53,6 +53,56 @@ def test_detrend_matches_kernel(spark):
                             res.trend_lc, rtol=1e-12, equal_nan=True)
 
 
+def test_detrend_with_transit_mask_matches_kernel(spark):
+    """mask_transit on the packed op == kernel detrend with the same
+    periodic mask (reference masked-flatten scenario, wotan/tests.py
+    masking blocks); the mask must actually change the fit."""
+    from wotan_spark.kernels.series import transit_mask
+
+    seq = _seq(spark)
+    period, duration, t0 = 50.0, 6.0, 10.0
+    det = detrend_sequences(seq, method="biweight", window_length=17,
+                            mask_transit=(period, duration, t0),
+                            keep_tokens=True)
+    unmasked = {r.doc_id: r for r in
+                detrend_sequences(seq, method="biweight", window_length=17)
+                .collect()}
+    changed = 0
+    for row in det.collect():
+        toks = np.asarray(row.tokens, dtype=np.int32)
+        y = decode_tokens(toks)
+        t = np.arange(len(y), dtype=np.float64)
+        mask = transit_mask(t, period, duration, t0)
+        res = detrend_series(t, y, window_length=17, method="biweight",
+                             mask=mask)
+        npt.assert_allclose(np.asarray(row.trend, dtype=np.float64),
+                            res.trend_lc, rtol=1e-12, equal_nan=True)
+        um = np.asarray(unmasked[row.doc_id].trend, dtype=np.float64)
+        got = np.asarray(row.trend, dtype=np.float64)
+        if not np.allclose(um, got, rtol=1e-12, equal_nan=True):
+            changed += 1
+    assert changed > 0, "mask had no effect on any series"
+
+
+def test_detrend_with_mask_col_matches_kernel(spark):
+    """Explicit array<boolean> mask column path == kernel."""
+    import pyspark.sql.functions as F
+
+    seq = _seq(spark).withColumn(
+        "bad", F.transform("tokens", lambda x, i: (i % 37) == 0))
+    det = detrend_sequences(seq, method="median", window_length=17,
+                            mask_col="bad", keep_tokens=True)
+    for row in det.limit(4).collect():
+        toks = np.asarray(row.tokens, dtype=np.int32)
+        y = decode_tokens(toks)
+        t = np.arange(len(y), dtype=np.float64)
+        mask = (np.arange(len(y)) % 37) == 0
+        res = detrend_series(t, y, window_length=17, method="median",
+                             mask=mask)
+        npt.assert_allclose(np.asarray(row.flat, dtype=np.float64),
+                            res.flatten_lc, rtol=1e-12, equal_nan=True)
+
+
 def test_chunked_detrend_exact_and_token_invariant(spark):
     seq = _seq(spark)
     plain = {r.doc_id: r for r in

@@ -61,17 +61,39 @@ def _detrend_one(tokens: np.ndarray, params: dict) -> tuple[np.ndarray, np.ndarr
 
 
 def detrend_sequences(df: DataFrame, method: str = "biweight",
-                      keep_tokens: bool = False, **params) -> DataFrame:
+                      keep_tokens: bool = False,
+                      mask_col: str | None = None,
+                      mask_transit: tuple[float, float, float] | None = None,
+                      **params) -> DataFrame:
     """sequences(doc_id, tokens, n_tok, source) ->
-    (doc_id, n_tok, source, flat, trend[, tokens]) with packed arrays."""
+    (doc_id, n_tok, source, flat, trend[, tokens]) with packed arrays.
+
+    Known-signal exclusion (reference ``flatten(..., mask=)``,
+    wotan/flatten.py:194-197 — True = in-transit point excluded from the
+    fit): pass ``mask_col`` naming an array<boolean> column aligned with
+    ``tokens``, or ``mask_transit=(period, duration, T0)`` to derive the
+    periodic mask from the token index inside the same packed pass."""
     params = dict(params, method=method)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wotan_spark.kernels.series import transit_mask as _tmask
+
         for pdf in batches:
             flats, trends = [], []
-            for toks in pdf["tokens"]:
+            if mask_col is not None:
+                masks = [np.asarray(m, dtype=bool) for m in pdf[mask_col]]
+            elif mask_transit is not None:
+                period, duration, t0 = mask_transit
+                masks = [_tmask(np.arange(len(toks), dtype=np.float64),
+                                period, duration, t0)
+                         for toks in pdf["tokens"]]
+            else:
+                masks = None
+            for row_i, toks in enumerate(pdf["tokens"]):
+                p = (params if masks is None
+                     else dict(params, mask=masks[row_i]))
                 flat, trend = _detrend_one(np.asarray(toks, dtype=np.int32),
-                                           params)
+                                           p)
                 flats.append(flat)
                 trends.append(trend)
             out = pd.DataFrame({
