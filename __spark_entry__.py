@@ -455,6 +455,24 @@ def q_revenue_by_nation(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 4).alias("revenue")))
 
 
+def q_detrend_masked_mean_packed(spark, sf_dir):
+    """Packed mean detrend with a periodic known-signal mask derived from
+    the token index (reference masked-flatten: masked points are excluded
+    from every window estimate but still receive a trend value).  The
+    oracle rebuilds mask + window + Q1 cap in SQL."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="mean", window_length=17,
+                            mask_transit=(50.0, 6.0, 10.0))
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Multi-level tier aggregate in ONE pass via ROLLUP grouping sets:
     (user_id, bucket) -> (user_id) -> () super-aggregates, the relational
@@ -538,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier10_median": _wrap(q_tier10_median),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
+        "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
         "rollup_hierarchy": _wrap(q_rollup_hierarchy),
         "dedup_survivors": _wrap(q_dedup_survivors),
         "pricing_summary": _wrap(q_pricing_summary),
@@ -875,6 +894,50 @@ def oracle_sql() -> dict[str, str]:
                                       len(v) - cast(floor(len(v) * 0.1) AS INT)])
                    END AS trend
             FROM adj)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM tr GROUP BY 1
+    """
+
+    # masked mean slider: mask = transit_mask on the token index (True =
+    # excluded from every window estimate; masked points still receive a
+    # trend).  Window sums treat masked y as NULL; the Q1 cap subtracts the
+    # segment-last value only when that value is itself unmasked.
+    sqls["detrend_masked_mean_packed"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (
+            SELECT *,
+                   (abs(fmod(t - 10 + 25, 50) - 25) < 3) AS masked
+            FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last, l.masked AS last_masked
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   sum(CASE WHEN masked THEN NULL ELSE y END)
+                       OVER (PARTITION BY user_id ORDER BY t
+                             RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING) AS s,
+                   count(CASE WHEN masked THEN NULL ELSE y END)
+                       OVER (PARTITION BY user_id ORDER BY t
+                             RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING) AS c
+            FROM lim),
+        tr AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8 AND NOT lv.last_masked
+                        THEN CASE WHEN c > 1
+                                  THEN (s - lv.y_last) / (c - 1) END
+                        ELSE CASE WHEN c > 0 THEN s / c END
+                   END AS trend
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id)
         SELECT 'user_' || user_id AS doc_id,
                round(sum(y / trend), 6) AS flat_sum,
                count(y / trend) AS n_pts
