@@ -370,6 +370,15 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered (PPJoin-style) exact jaccard — same oracle as the
+    unfiltered pass, by construction."""
+    from wotan_spark.spark.datapipe import ngram_jaccard_pairs_prefix
+    out = ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3,
+                                     threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_signatures(spark, sf_dir):
     from wotan_spark.spark.datapipe import minhash_signatures
     return minhash_signatures(_docs(spark, sf_dir), n=3)
@@ -557,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
+        "ngram_jaccard_prefix": _wrap(q_ngram_jaccard_prefix),
         "rollup_hierarchy": _wrap(q_rollup_hierarchy),
         "dedup_survivors": _wrap(q_dedup_survivors),
         "pricing_summary": _wrap(q_pricing_summary),
@@ -1057,6 +1067,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE i / (sa.n_sh + sb.n_sh - i * 1.0) >= 0.5
     """
+    # prefix filtering is exact-preserving: same oracle by construction
+    sqls["ngram_jaccard_prefix"] = sqls["ngram_jaccard"]
 
     sqls["minhash_signatures"] = f"""
         WITH sh AS ({_SHINGLES3}),

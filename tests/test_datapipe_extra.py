@@ -6,7 +6,8 @@ import numpy as np
 
 from wotan_spark.spark.datapipe import (cosine_topk, cosine_topk_ivf,
                                         cosine_topk_lsh, ivf_assign,
-                                        ivf_centroids)
+                                        ivf_centroids, ngram_jaccard_pairs,
+                                        ngram_jaccard_pairs_prefix)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -25,6 +26,20 @@ def test_lsh_ann_recall(spark):
     for r in approx:
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_prefix_filtered_jaccard_equals_unfiltered(spark):
+    """Prefix filtering is exact-preserving: identical pair set and
+    jaccard values to the full inverted-index pass."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs_prefix(docs,
+                                                threshold=0.4).collect()}
+    assert set(full) == set(pref)
+    for k in full:
+        np.testing.assert_allclose(full[k], pref[k], rtol=1e-12)
 
 
 def test_ivf_assignment_partitions_corpus(spark):

@@ -114,6 +114,69 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style) —
+    the exact-preserving at-scale variant of ngram_jaccard_pairs.
+
+    Shingles get a global total order (ascending document frequency, ties
+    by hash); a doc with |A| shingles keeps only its first
+    |A| - ceil(t*|A|) + 1 prefix shingles as candidate keys.  Any pair
+    with J >= t must share a prefix shingle, so the bucket join touches a
+    fraction of the inverted index; candidates are then verified exactly
+    with a full-array intersection.  Identical output to the unfiltered
+    version (tested), but the pair-expansion shuffle shrinks by ~1/(1+t).
+    """
+    w = _words("text")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
+    sh = (_spread(docs, "doc_id").filter(F.size(w) >= n)
+          .select("doc_id", grams.alias("gr"))
+          .select("doc_id", F.explode("gr").alias("shingle"))
+          .select("doc_id", md5_long(F.col("shingle")).alias("hv")))
+    df_counts = sh.groupBy("hv").agg(F.count("*").alias("df"))
+    # per-doc shingle list in (df, hv) global order; prefix length per the
+    # threshold bound
+    per_doc = (sh.join(df_counts, "hv")
+               .groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("df", "hv")))
+                    .alias("ordered")))
+    per_doc = per_doc.select(
+        "doc_id",
+        F.transform("ordered", lambda s: s["hv"]).alias("hvs"),
+        F.size("ordered").alias("n_sh"))
+    # three consumers below (prefix explode + both verify sides): checkpoint
+    # so the shingle subtree is evaluated once, not three times
+    per_doc = per_doc.localCheckpoint(eager=False)
+    # the -1e-9 guards FP-upward drift in t*n: a too-large ceil would
+    # shorten the prefix and silently drop true pairs; erring longer only
+    # adds candidates
+    p_len = (F.col("n_sh")
+             - F.ceil(F.col("n_sh") * F.lit(threshold) - 1e-9) + 1) \
+        .cast("int")
+    prefix = (per_doc
+              .select("doc_id", "n_sh",
+                      F.explode(F.slice("hvs", 1, p_len)).alias("hv")))
+    cand = (prefix.groupBy("hv")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .distinct())
+    full = per_doc.select("doc_id", "hvs", "n_sh")
+    a = full.select(F.col("doc_id").alias("doc_a"),
+                    F.col("hvs").alias("hvs_a"), F.col("n_sh").alias("n_a"))
+    b = full.select(F.col("doc_id").alias("doc_b"),
+                    F.col("hvs").alias("hvs_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("hvs_a", "hvs_b"))
+    out = (cand.join(a, "doc_a").join(b, "doc_b")
+           .select("doc_a", "doc_b",
+                   (inter / (F.col("n_a") + F.col("n_b") - inter))
+                   .alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, h0..h7) MinHash signature over word n-gram shingles."""
     sh = word_shingles(docs, n).withColumn(
