@@ -171,3 +171,28 @@ def test_detrend_biweight_reference_golden():
     assert np.isfinite(np.nansum(res.flatten_lc))
     # flat series should hover around 1.0
     assert abs(np.nanmean(res.flatten_lc) - 1.0) < 1e-3
+
+
+def test_iterative_2d_kernels_bit_equal_to_1d():
+    """The row-vectorized huber/hampel/ramsay kernels must reproduce the
+    1D loops bit-for-bit (freeze-at-convergence keeps per-row iteration
+    counts identical)."""
+    from wotan_spark.kernels import robust
+    rng = np.random.RandomState(7)
+    for L in [2, 3, 5, 20, 121]:
+        F = 1 + rng.normal(0, 1e-3, (100, L))
+        F[0] = 1.0              # zero-scale row
+        F[1, 0] += 5.0          # outlier row
+        pairs = [
+            (robust.huber_location_2d(F, 1.5),
+             [robust.huber_location_1d(f, 1.5) for f in F]),
+            (robust.irls_intercept_2d(F, "hampel", (1.7, 3.4, 8.5)),
+             [robust.irls_intercept_1d(f, "hampel", (1.7, 3.4, 8.5))
+              for f in F]),
+            (robust.irls_intercept_2d(F, "ramsay", 0.3),
+             [robust.irls_intercept_1d(f, "ramsay", 0.3) for f in F]),
+        ]
+        for v2, v1 in pairs:
+            v1 = np.asarray(v1)
+            eq = (v1 == v2) | (np.isnan(v1) & np.isnan(v2))
+            assert eq.all()

@@ -279,6 +279,89 @@ def _ramsay_weights(z: np.ndarray, a: float) -> np.ndarray:
     return np.exp(-a * np.abs(z))
 
 
+def huber_location_2d(Fm: np.ndarray, cval: float,
+                      maxiter: int = MAXITER_HUBER,
+                      tol: float = FTOL) -> np.ndarray:
+    """Row-vectorized joint Huber location/scale: identical per-row math to
+    ``huber_location_1d`` (rows freeze at their own convergence iteration,
+    so results are bit-equal to the 1D loop), evaluated across all windows
+    of one length at once.  Non-converged rows fall back to the row median
+    (Q13)."""
+    with np.errstate(all="ignore"):
+        A = np.asarray(Fm, dtype=np.float64)
+        R, L = A.shape
+        n = L - 1
+        mu = np.median(A, axis=1)
+        scale = np.median(np.abs(A - mu[:, None]), axis=1) / Z75
+        tmp = 2.0 * gaussian_cdf(cval) - 1.0
+        gamma = tmp + cval ** 2 * (1.0 - tmp) - 2.0 * cval * gaussian_pdf(cval)
+        out = np.median(A, axis=1)          # default: Q13 median fallback
+        active = np.ones(R, dtype=bool)
+        for _ in range(maxiter):
+            if not active.any():
+                break
+            idx = np.where(active)[0]
+            a = A[idx]
+            m = mu[idx]
+            s = scale[idx]
+            nmu = np.clip(a, (m - cval * s)[:, None],
+                          (m + cval * s)[:, None]).sum(axis=1) / L
+            subset = np.abs((a - m[:, None]) / s[:, None]) <= cval
+            card = subset.sum(axis=1)
+            num = np.sum(subset * (a - nmu[:, None]) ** 2, axis=1)
+            den = n * gamma - (L - card) * cval ** 2
+            nscale = np.sqrt(num / den)
+            done = (np.abs(s - nscale) <= nscale * tol) \
+                & (np.abs(m - nmu) <= nscale * tol)
+            out[idx[done]] = nmu[done]
+            active[idx[done]] = False
+            mu[idx] = nmu
+            scale[idx] = nscale
+        return out
+
+
+def irls_intercept_2d(Fm: np.ndarray, norm: str, cval,
+                      maxiter: int = 50, tol: float = 1e-8) -> np.ndarray:
+    """Row-vectorized twin of ``irls_intercept_1d`` (bit-equal per row via
+    freeze-at-exit semantics)."""
+    with np.errstate(all="ignore"):
+        A = np.asarray(Fm, dtype=np.float64)
+        R, _ = A.shape
+        mu = A.mean(axis=1)
+        out = mu.copy()
+        active = np.ones(R, dtype=bool)
+        for _ in range(maxiter):
+            if not active.any():
+                break
+            idx = np.where(active)[0]
+            a = A[idx]
+            m = mu[idx]
+            resid = a - m[:, None]
+            scale = np.median(np.abs(resid), axis=1) / Z75
+            stop0 = scale == 0.0
+            out[idx[stop0]] = m[stop0]
+            z = resid / scale[:, None]
+            if norm == "hampel":
+                w = _hampel_weights(z, cval[0], cval[1], cval[2])
+            elif norm == "ramsay":
+                w = _ramsay_weights(z, cval)
+            else:  # pragma: no cover
+                raise ValueError(norm)
+            sw = w.sum(axis=1)
+            stop_sw = (sw == 0.0) & ~stop0
+            out[idx[stop_sw]] = m[stop_sw]
+            nmu = np.sum(w * a, axis=1) / sw
+            done = (np.abs(nmu - m)
+                    <= tol * np.maximum(1.0, np.abs(nmu))) & ~stop0 & ~stop_sw
+            out[idx[done]] = nmu[done]
+            frozen = stop0 | stop_sw | done
+            active[idx[frozen]] = False
+            live = ~frozen
+            mu[idx[live]] = nmu[live]
+            out[idx[live]] = nmu[live]       # maxiter-exhaust value
+        return out
+
+
 def irls_intercept_1d(f: np.ndarray, norm: str, cval,
                       maxiter: int = 50, tol: float = 1e-8) -> float:
     """Intercept-only IRLS M-regression: starts at the mean (OLS), scales by

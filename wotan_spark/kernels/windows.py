@@ -62,6 +62,12 @@ _SLOW_1D = {
     "ramsay": lambda f, cval: robust.irls_intercept_1d(f, "ramsay", cval),
 }
 
+_ITER_2D = {
+    "huber": lambda F, cval: robust.huber_location_2d(F, cval),
+    "hampel": lambda F, cval: robust.irls_intercept_2d(F, "hampel", cval),
+    "ramsay": lambda F, cval: robust.irls_intercept_2d(F, "ramsay", cval),
+}
+
 
 def _center_selection(time: np.ndarray, window_length: float,
                       edge_cutoff: float) -> np.ndarray:
@@ -136,6 +142,26 @@ def running_slider_iterative(time: np.ndarray, flux: np.ndarray, mask: np.ndarra
 
     mf = flux * np.where(mask == 0.0, np.nan, mask)
     starts, ends = window_bounds(time, window_length / 2.0)
+
+    # dense path: no NaN anywhere -> group equal-length windows into one
+    # (rows, L) matrix per length and run the row-vectorized IRLS (bit-equal
+    # per row to the 1D loop via freeze-at-convergence)
+    if not np.any(np.isnan(mf)):
+        est2 = _ITER_2D[method]
+        cs, ce = starts[centers], ends[centers]
+        lengths = ce - cs
+        for L in np.unique(lengths):
+            if L <= 1:
+                continue  # reference: windows with <=1 point stay NaN
+            g = np.where(lengths == L)[0]
+            offs = np.arange(L)[None, :]
+            block = max(int(32768 / L), 256)
+            for b in range(0, len(g), block):
+                gb = g[b:b + block]
+                rows = cs[gb][:, None] + offs
+                out[centers[gb]] = est2(mf[rows], cval)
+        return out
+
     for c in centers:
         f = mf[starts[c]:ends[c]]
         f = f[~np.isnan(f)]
