@@ -399,6 +399,14 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above a similarity threshold
+    (exact block-matmul variant; the LSH variant is the at-scale path,
+    tested for recall)."""
+    from wotan_spark.spark.datapipe import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
 def q_cosine_topk_ivf(spark, sf_dir):
     """ANN scale path: IVF coarse-quantizer cells + nprobe exact rerank.
     Approximate, so rows-only in the driver (recall vs brute force is
@@ -562,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _wrap(q_simhash),
         "cosine_topk": _wrap(q_cosine_topk),
         "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
+        "embedding_near_dups": _wrap(q_embedding_near_dups),
         "tier10_median": _wrap(q_tier10_median),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
@@ -1069,6 +1078,18 @@ def oracle_sql() -> dict[str, str]:
     """
     # prefix filtering is exact-preserving: same oracle by construction
     sqls["ngram_jaccard_prefix"] = sqls["ngram_jaccard"]
+
+    # embeddings are float32 on disk; cast to DOUBLE[] so DuckDB's cosine
+    # runs in float64 like the engine's NumPy path
+    sqls["embedding_near_dups"] = """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 5)
+                   AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.3
+    """
 
     sqls["minhash_signatures"] = f"""
         WITH sh AS ({_SHINGLES3}),

@@ -5,7 +5,8 @@ from __future__ import annotations
 import numpy as np
 
 from wotan_spark.spark.datapipe import (cosine_topk, cosine_topk_ivf,
-                                        cosine_topk_lsh, ivf_assign,
+                                        cosine_topk_lsh,
+                                        embedding_near_dup_pairs, ivf_assign,
                                         ivf_centroids, ngram_jaccard_pairs,
                                         ngram_jaccard_pairs_prefix)
 
@@ -26,6 +27,21 @@ def test_lsh_ann_recall(spark):
     for r in approx:
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """LSH near-dup variant: a subset of the exact pair set, with useful
+    recall at this corpus size."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.vec_id_a, r.vec_id_b)
+             for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    approx = {(r.vec_id_a, r.vec_id_b)
+              for r in embedding_near_dup_pairs(emb, threshold=0.3,
+                                                method="lsh").collect()}
+    assert approx <= exact          # rerank is exact -> no false positives
+    assert exact, "fixture should contain near-dup pairs at tau=0.3"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
 
 
 def test_prefix_filtered_jaccard_equals_unfiltered(spark):

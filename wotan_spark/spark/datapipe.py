@@ -354,6 +354,95 @@ def _rerank_candidates(emb: DataFrame, cand: DataFrame,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.3,
+                             round_to: int = 5,
+                             method: str = "exact") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs:
+    (vec_id_a, vec_id_b, cos_sim) with vec_id_a < vec_id_b and
+    cosine >= threshold.
+
+    ``exact``: every partition scores its rows against the broadcast
+    normalized corpus matrix (collected once — fine up to ~10^6 vectors;
+    beyond that use ``lsh``).  ``lsh``: hyperplane-bucket candidates then
+    exact rerank — the at-scale path, approximate (bucket recall).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("vec_id_a", LongType(), False),
+        StructField("vec_id_b", LongType(), False),
+        StructField("cos_sim", DoubleType(), False),
+    ])
+    scale = float(10 ** round_to)
+
+    if method == "lsh":
+        # low-threshold near-dups are far apart in angle: collision prob
+        # per plane at cos=0.3 is ~0.6, so favor few planes x many tables
+        # (4x8 -> ~0.66 recall at the threshold, higher above it)
+        buckets = lsh_buckets(emb, n_planes=4, n_tables=8)
+        cand = (buckets.groupBy("table_id", "bucket")
+                .agg(F.collect_list("vec_id").alias("ids"))
+                .filter(F.size("ids") > 1)
+                .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+                .select(F.col("p.a").alias("vec_id_a"),
+                        F.col("p.b").alias("vec_id_b"))
+                .distinct())
+        a = emb.select(F.col("vec_id").alias("vec_id_a"),
+                       F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_id_b"),
+                       F.col("embedding").alias("eb"))
+        pairs = cand.join(a, "vec_id_a").join(b, "vec_id_b")
+
+        def score_pairs(batches: Iterator[pd.DataFrame]) \
+                -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["ea"]])
+                B = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["eb"]])
+                sims = np.einsum("ij,ij->i", A, B) / (
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+                keep = sims >= threshold
+                sims = np.sign(sims) * np.floor(np.abs(sims) * scale
+                                                + 0.5) / scale
+                yield pd.DataFrame({
+                    "vec_id_a": pdf["vec_id_a"][keep],
+                    "vec_id_b": pdf["vec_id_b"][keep],
+                    "cos_sim": sims[keep]})
+
+        return pairs.mapInPandas(score_pairs, schema=out_schema)
+
+    vpdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in vpdf["embedding"]])
+    V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+    vids = vpdf["vec_id"].to_numpy()
+
+    def score_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12, None)
+            mids = pdf["vec_id"].to_numpy()
+            sims = M @ V.T
+            ii, jj = np.where((sims >= threshold)
+                              & (mids[:, None] < vids[None, :]))
+            s = sims[ii, jj]
+            s = np.sign(s) * np.floor(np.abs(s) * scale + 0.5) / scale
+            yield pd.DataFrame({"vec_id_a": mids[ii],
+                                "vec_id_b": vids[jj], "cos_sim": s})
+
+    return emb.mapInPandas(score_all, schema=out_schema)
+
+
 def lsh_buckets(emb: DataFrame, n_planes: int = 8, n_tables: int = 2,
                 seed: int = 7) -> DataFrame:
     """(vec_id, table_id, bucket) — random-hyperplane (sign) LSH buckets.
