@@ -58,6 +58,57 @@ def test_prefix_filtered_jaccard_equals_unfiltered(spark):
         np.testing.assert_allclose(full[k], pref[k], rtol=1e-12)
 
 
+def test_prefix_filtered_jaccard_random_corpora(spark):
+    """Randomized equivalence: near-identical docs, shared boilerplate,
+    short docs below the shingle width, exact duplicates — the prefix
+    filter must agree with the full pass on every corpus."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(3):
+        rows = []
+        base = " ".join(rnd.choices(vocab, k=30))
+        for d in range(40):
+            kind = d % 4
+            if kind == 0:        # near-duplicate of base
+                words = base.split()
+                for _ in range(rnd.randint(0, 3)):
+                    words[rnd.randrange(len(words))] = rnd.choice(vocab)
+                text = " ".join(words)
+            elif kind == 1:      # exact duplicate
+                text = base
+            elif kind == 2:      # random doc
+                text = " ".join(rnd.choices(vocab, k=rnd.randint(5, 50)))
+            else:                # too short for 3-gram shingles
+                text = " ".join(rnd.choices(vocab, k=rnd.randint(0, 2)))
+            rows.append((f"d{trial}_{d:02d}", text))
+        docs = spark.createDataFrame(rows, schema="doc_id string, text string")
+        for thr in (0.3, 0.7):
+            full = {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in
+                    ngram_jaccard_pairs(docs, threshold=thr).collect()}
+            pref = {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in
+                    ngram_jaccard_pairs_prefix(docs,
+                                               threshold=thr).collect()}
+            assert full == pref, (trial, thr)
+
+
+def test_embedding_near_dups_exact_vs_numpy(spark):
+    """Exact near-dup operator vs a direct NumPy all-pairs computation."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(120)
+    pdf = emb.toPandas()
+    V = np.stack([np.asarray(v, float) for v in pdf["embedding"]])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = V @ V.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] >= 0.3}
+    got = {(r.vec_id_a, r.vec_id_b)
+           for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    assert got == want
+
+
 def test_ivf_assignment_partitions_corpus(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n = emb.count()

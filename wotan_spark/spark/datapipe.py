@@ -54,13 +54,27 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
             .filter(F.col("dup_count") > 1))
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per doc."""
+def _grams(n: int) -> F.Column:
+    """Distinct word n-gram array of the ``text`` column, empty for docs
+    shorter than n words.  The short-doc branch must live INSIDE the
+    expression (lazy ``when``), not only in a separate filter: Spark infers
+    ``size(grams) > 0`` from a downstream explode and predicate pushdown
+    can reorder that inferred filter below the length filter, evaluating
+    the expression on short rows — where ``sequence(0, negative)`` counts
+    DOWN and feeds ``slice`` a zero start (runtime error)."""
     w = _words("text")
     idx = F.sequence(F.lit(0), F.size(w) - n)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-    return (_spread(docs, "doc_id").filter(F.size(w) >= n)
-            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+    sh = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
+    return F.when(F.size(w) >= n, sh).otherwise(
+        F.array().cast("array<string>"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per doc."""
+    return (_spread(docs, "doc_id")
+            .filter(F.size(_words("text")) >= n)
+            .select("doc_id", F.explode(_grams(n)).alias("shingle")))
 
 
 def _bucket_pairs(members: F.Column) -> F.Column:
@@ -85,15 +99,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     shuffle aggregates intersection counts per pair.  Join keys are 56-bit
     md5-derived longs, not shingle strings: ~3x smaller shuffle rows.
     """
-    w = _words("text")
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
     # two-step select: materialize the gram array once, THEN size+explode it
     # — referencing the transform expression from both size() and explode()
     # in one projection re-evaluates it per exploded row (~5x slower)
-    sh = (_spread(docs, "doc_id").filter(F.size(w) >= n)
-          .select("doc_id", grams.alias("gr"))
+    sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
+          .select("doc_id", _grams(n).alias("gr"))
           .select("doc_id", F.size("gr").alias("n_sh"),
                   F.explode("gr").alias("shingle"))
           .select(md5_long(F.col("shingle")).alias("hv"),
@@ -127,12 +137,8 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     with a full-array intersection.  Identical output to the unfiltered
     version (tested), but the pair-expansion shuffle shrinks by ~1/(1+t).
     """
-    w = _words("text")
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
-    sh = (_spread(docs, "doc_id").filter(F.size(w) >= n)
-          .select("doc_id", grams.alias("gr"))
+    sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
+          .select("doc_id", _grams(n).alias("gr"))
           .select("doc_id", F.explode("gr").alias("shingle"))
           .select("doc_id", md5_long(F.col("shingle")).alias("hv")))
     df_counts = sh.groupBy("hv").agg(F.count("*").alias("df"))
