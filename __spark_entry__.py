@@ -490,6 +490,22 @@ def q_detrend_masked_mean_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Native session windows (gap-based): Spark's session_window groups
+    events whose gaps stay under 30 min; window end = last event + gap.
+    Oracle rebuilds sessions with the lag/cumsum rule (new session when
+    gap >= 30 min, matching the half-open [start, last+gap) window)."""
+    ev = _events(spark, sf_dir)
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (ev.groupBy("user_id", sw)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("y_sum"))
+            .select("user_id",
+                    F.unix_micros("session_window.start").alias("s_start"),
+                    F.unix_micros("session_window.end").alias("s_end"),
+                    "n", "y_sum"))
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Multi-level tier aggregate in ONE pass via ROLLUP grouping sets:
     (user_id, bucket) -> (user_id) -> () super-aggregates, the relational
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
         "ngram_jaccard_prefix": _wrap(q_ngram_jaccard_prefix),
         "rollup_hierarchy": _wrap(q_rollup_hierarchy),
+        "sessionize": _wrap(q_sessionize),
         "dedup_survivors": _wrap(q_dedup_survivors),
         "pricing_summary": _wrap(q_pricing_summary),
         "revenue_by_nation": _wrap(q_revenue_by_nation),
@@ -860,6 +877,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
                count(*) AS n, round(sum(value), 6) AS y_sum
         FROM events GROUP BY ROLLUP (user_id, bucket)
+    """
+
+    sqls["sessionize"] = """
+        WITH pts AS (
+            SELECT user_id, epoch_us(ts) AS t_us, value
+            FROM events),
+        marked AS (
+            SELECT *, CASE WHEN t_us - lag(t_us) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS brk
+            FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        sess AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+        SELECT user_id, min(t_us) AS s_start,
+               max(t_us) + 1800000000 AS s_end,
+               count(*) AS n, round(sum(value), 6) AS y_sum
+        FROM sess GROUP BY user_id, sid
     """
 
     sqls["dedup_survivors"] = """

@@ -104,6 +104,51 @@ def test_streaming_ingestion_incremental(spark, tmp_path):
     assert diff == 0
 
 
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked event-time rollup: a row later than
+    (max event time - watermark) is dropped; a late-but-inside-watermark
+    row still lands in its window."""
+    import pandas as pd
+    from wotan_spark.spark.streaming import streaming_windowed_rollup
+
+    landing = tmp_path / "tspoints"
+    landing.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:30:00")
+    h = pd.Timedelta("1 hour")
+
+    def write(name, ts, ys):
+        import time
+        pdf = pd.DataFrame({"doc_id": ["a"] * len(ts), "ts": ts, "y": ys})
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark-readable
+        pdf.to_parquet(landing / name)
+        time.sleep(0.05)    # distinct mod-times -> deterministic batch order
+
+    # batch 1: rows in hours 0 and 1
+    write("f1.parquet", [t0, t0 + h, t0 + h + pd.Timedelta("10 min")],
+          [1.0, 2.0, 3.0])
+    # batch 2: hour 6 — after this batch the watermark is hour 4
+    write("f2.parquet", [t0 + 6 * h], [10.0])
+    # batch 3: hour 9 — runs WITH watermark hour 4, so hours 0/1 finalize,
+    # emit, and their state is evicted; afterwards the watermark is hour 7
+    write("f3.parquet", [t0 + 9 * h], [0.5])
+    # batch 4: a late hour-0 row (state evicted + older than watermark ->
+    # guaranteed drop) and a late hour-8 row (inside watermark -> kept)
+    write("f4.parquet", [t0, t0 + 8 * h], [100.0, 8.0])
+    # batch 5: advance to hour 13 so hours <= 9 all finalize
+    write("f5.parquet", [t0 + 13 * h], [0.25])
+
+    streaming_windowed_rollup(spark, str(landing), str(tmp_path / "ck"),
+                              query_name="wm_rollup", bucket="1 hour",
+                              watermark="2 hours")
+    rows = {r.bucket_start.hour: r for r in
+            spark.sql("select * from wm_rollup").collect()}
+    assert rows[0].n == 1 and rows[0].y_sum == 1.0   # late hour-0 row DROPPED
+    assert rows[1].n == 2 and rows[1].y_sum == 5.0
+    assert rows[6].n == 1 and rows[6].y_sum == 10.0
+    assert rows[8].n == 1 and rows[8].y_sum == 8.0   # inside-watermark KEPT
+    assert rows[9].n == 1 and rows[9].y_sum == 0.5
+
+
 def test_streaming_stateful_running_stats(spark, tmp_path):
     """applyInPandasWithState: per-series state survives micro-batch
     boundaries — a gap-free segment split across two files is counted

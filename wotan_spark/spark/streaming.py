@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
+                               StructType, TimestampType)
 
 from wotan_spark.spark.lakehouse import SnapshotTable
 from wotan_spark.spark.rollup import detrend_rollup_fused
@@ -65,6 +65,41 @@ POINTS_SCHEMA = StructType([
     StructField("t", LongType(), False),
     StructField("y", DoubleType(), False),
 ])
+
+TS_POINTS_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("ts", TimestampType(), False),
+    StructField("y", DoubleType(), False),
+])
+
+
+def streaming_windowed_rollup(spark: SparkSession, landing_dir: str,
+                              checkpoint_dir: str, query_name: str,
+                              bucket: str = "1 hour",
+                              watermark: str = "2 hours",
+                              max_files_per_trigger: int = 1):
+    """Event-time windowed tier rollup with a watermark: late rows inside
+    the watermark still update their window; rows later than
+    (max event time - watermark) are dropped and their windows finalized.
+    Append mode emits each (doc_id, window) exactly once, on finalization.
+    """
+    import pyspark.sql.functions as F
+
+    stream = (spark.readStream.schema(TS_POINTS_SCHEMA).format("parquet")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(landing_dir))
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", bucket).alias("w"), "doc_id")
+           .agg(F.count("*").alias("n"), F.sum("y").alias("y_sum"))
+           .select("doc_id", F.col("w.start").alias("bucket_start"),
+                   "n", "y_sum"))
+    q = (agg.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
 
 _STATS_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
