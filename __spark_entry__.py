@@ -359,6 +359,13 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting (GPT-2-style
+    pretokenizer split classes)."""
+    from wotan_spark.spark.datapipe import token_counts
+    return token_counts(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir):
     from wotan_spark.spark.datapipe import lang_id
     return lang_id(_docs(spark, sf_dir))
@@ -579,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _wrap(q_dedup_exact),
         "doc_fingerprint": _wrap(q_doc_fingerprint),
         "text_stats": _wrap(q_text_stats),
+        "token_counts": _wrap(q_token_counts),
         "lang_id": _wrap(q_lang_id),
         "ngram_jaccard": _wrap(q_ngram_jaccard),
         "minhash_signatures": _wrap(q_minhash_signatures),
@@ -1067,6 +1075,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(
                    string_split(lower(text), ' '))), ' ')) AS fingerprint
+        FROM documents
+    """
+
+    sqls["token_counts"] = """
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_bpe_tokens,
+               len(list_distinct(
+                   regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                   AS n_bpe_types
         FROM documents
     """
 

@@ -619,6 +619,23 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+BPE_TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc.  The regex mirrors a
+    GPT-2-style pretokenizer's split classes (alnum runs vs single
+    punctuation marks) in a dialect both Java regex and RE2 accept, so
+    the DuckDB oracle is exact."""
+    w = _words("text")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_types"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language id: share of known-English stopwords among
     distinct words -> 'en' vs 'other' (deterministic, oracle-friendly)."""
