@@ -84,6 +84,26 @@ def test_detrend_with_transit_mask_matches_kernel(spark):
     assert changed > 0, "mask had no effect on any series"
 
 
+def test_detrend_points_mask_matches_packed(spark):
+    """Long-form masked detrend == packed masked detrend on the same data."""
+    import pyspark.sql.functions as F
+    from wotan_spark.spark.detrend_op import detrend_points
+
+    seq = _seq(spark).limit(4)
+    mt = (50.0, 6.0, 10.0)
+    packed = {r.doc_id: np.asarray(r.trend, dtype=np.float64) for r in
+              detrend_sequences(seq, method="mean", window_length=17,
+                                mask_transit=mt).collect()}
+    pts = seq.select("doc_id", F.posexplode("tokens").alias("t", "tok")) \
+        .select("doc_id", "t", (1.0 + F.col("tok") / 1e6).alias("y"))
+    long = detrend_points(pts, method="mean", window_length=17,
+                          mask_transit=mt)
+    long_pdf = long.orderBy("doc_id", "t").toPandas()
+    for doc_id, grp in long_pdf.groupby("doc_id"):
+        got = grp["trend"].to_numpy(dtype=np.float64)
+        npt.assert_allclose(got, packed[doc_id], rtol=1e-12, equal_nan=True)
+
+
 def test_detrend_with_mask_col_matches_kernel(spark):
     """Explicit array<boolean> mask column path == kernel."""
     import pyspark.sql.functions as F

@@ -112,13 +112,16 @@ def detrend_sequences(df: DataFrame, method: str = "biweight",
 
 
 def detrend_points(points: DataFrame, method: str = "biweight",
+                   mask_transit: tuple[float, float, float] | None = None,
                    **params) -> DataFrame:
     """Long-form entry point: (doc_id, t, y[, ...]) -> adds trend/flat.
 
     For callers whose data is already exploded.  One ``applyInPandas`` per
     doc_id (shuffle on doc_id — unavoidable in long form; the packed
     ``detrend_sequences`` is the shuffle-free fast path and produces
-    identical values, tested)."""
+    identical values, tested).  ``mask_transit=(period, duration, T0)``
+    derives the known-signal exclusion mask from ``t``, as in the packed
+    op."""
     params = dict(params, method=method)
     schema = StructType([
         StructField("doc_id", StringType(), False),
@@ -129,10 +132,16 @@ def detrend_points(points: DataFrame, method: str = "biweight",
     ])
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from wotan_spark.kernels.series import transit_mask as _tmask
+
         pdf = pdf.sort_values("t")
         t = pdf["t"].to_numpy(dtype=np.float64)
         y = pdf["y"].to_numpy(dtype=np.float64)
-        res = detrend_series(t, y, **params)
+        p = params
+        if mask_transit is not None:
+            period, duration, t0 = mask_transit
+            p = dict(params, mask=_tmask(t, period, duration, t0))
+        res = detrend_series(t, y, **p)
         return pd.DataFrame({
             "doc_id": np.repeat(key[0], len(t)),
             "t": t.astype(np.int64),
