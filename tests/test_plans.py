@@ -73,6 +73,36 @@ def test_dedup_pair_queries_scan_input_once(spark):
             f"{fn.__name__}: expected 1 scan, found {n_scans}:\n{plan}"
 
 
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Pre-bucketing both sides of a recurring join key (doc_id) removes
+    the shuffle entirely: the sort-merge join reads co-located buckets.
+    This is the 100 TB pattern for joining detrended output back to
+    sequence metadata without a corpus-wide exchange."""
+    import uuid
+    seq = synth_sequences(spark, 32, median_len=50, max_len=100)
+    a, b = f"seq_a_{uuid.uuid4().hex[:8]}", f"seq_b_{uuid.uuid4().hex[:8]}"
+    (seq.select("doc_id", "n_tok").write.bucketBy(8, "doc_id")
+        .sortBy("doc_id").mode("overwrite").saveAsTable(a))
+    (seq.select("doc_id", "source").write.bucketBy(8, "doc_id")
+        .sortBy("doc_id").mode("overwrite").saveAsTable(b))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would auto-broadcast;
+        # at corpus scale neither side is broadcastable)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table(a).join(spark.table(b), "doc_id")
+                  .groupBy("source").count())
+        plan = _plan(joined)
+        assert joined.agg(F.sum("count")).collect()[0][0] == 32
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(doc_id" not in plan, \
+            f"bucketed join must not reshuffle on doc_id:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
 def test_sql_native_paths_stay_jvm_side(spark):
     """The SQL-expressible operators (range-window slider, tier rollup,
     gap-fill resampler, transit mask) must contain no Python evaluation
