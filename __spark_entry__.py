@@ -537,6 +537,38 @@ def q_dedup_survivors(spark, sf_dir):
     return all_ids.subtract(non_keepers)
 
 
+def _packed_flat_sum(spark, sf_dir, method):
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method=method, window_length=17)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
+def q_detrend_hampelfilt_packed(spark, sf_dir):
+    """Hampel-filter slider (values >= 3*MAD from the median replaced by
+    the median, then mean) — oracle rebuilds median/MAD from sorted window
+    lists with numpy's even-count interpolation."""
+    return _packed_flat_sum(spark, sf_dir, "hampelfilt")
+
+
+def q_detrend_huber_psi_packed(spark, sf_dir):
+    """One-step Huber psi slider (residuals scaled by MAD, clipped to
+    +-1.28; denominator is n after clipping — quirk Q3; MAD==0 -> NaN)."""
+    return _packed_flat_sum(spark, sf_dir, "huber_psi")
+
+
+def q_detrend_tau_packed(spark, sf_dir):
+    """Yohai-Zamar tau-location slider (s = 0.675*MAD, biweight-style
+    weights, inclusion tests the WEIGHT |w| <= 4.5 — quirk Q4)."""
+    return _packed_flat_sum(spark, sf_dir, "tau")
+
+
 def q_detrend_winsorize_packed(spark, sf_dir):
     """Packed detrend with the winsorized-mean estimator (reference:
     replace int(0.1*n)+1 values per sorted tail with the boundary value,
@@ -598,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier10_median": _wrap(q_tier10_median),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
+        "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
+        "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
+        "detrend_tau_packed": _wrap(q_detrend_tau_packed),
         "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
         "ngram_jaccard_prefix": _wrap(q_ngram_jaccard_prefix),
         "rollup_hierarchy": _wrap(q_rollup_hierarchy),
@@ -961,6 +996,90 @@ def oracle_sql() -> dict[str, str]:
                count(y / trend) AS n_pts
         FROM tr GROUP BY 1
     """
+
+    # shared slider-window skeleton for the MAD-based robust estimators:
+    # same window + Q1 cap as detrend_mean_packed, then median/MAD rebuilt
+    # from sorted lists with numpy's even-count interpolation; {EST} is the
+    # estimator expression over (v, sv, n, m, mad)
+    _mad_slider = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        base AS (
+            SELECT user_id, t, y, v, list_sort(v) AS sv, len(v) AS n
+            FROM adj),
+        m1 AS (
+            SELECT *, CASE WHEN n = 0 THEN NULL
+                           WHEN n % 2 = 1 THEN sv[(n + 1) // 2]
+                           ELSE (sv[n // 2] + sv[n // 2 + 1]) / 2.0
+                      END AS m
+            FROM base),
+        m2 AS (
+            SELECT *, list_sort(list_transform(v, x -> abs(x - m))) AS dv
+            FROM m1),
+        m3 AS (
+            SELECT *, CASE WHEN n = 0 THEN NULL
+                           WHEN n % 2 = 1 THEN dv[(n + 1) // 2]
+                           ELSE (dv[n // 2] + dv[n // 2 + 1]) / 2.0
+                      END AS mad
+            FROM m2),
+        tr AS (SELECT user_id, t, y, {EST} AS trend FROM m3)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM tr GROUP BY 1
+    """
+
+    sqls["detrend_hampelfilt_packed"] = _mad_slider.replace("{EST}", """
+        CASE WHEN n > 0 THEN
+            list_sum(list_transform(v, x ->
+                CASE WHEN abs(x - m) >= 3.0 * mad THEN m ELSE x END)) / n
+        END""")
+
+    sqls["detrend_huber_psi_packed"] = _mad_slider.replace("{EST}", """
+        CASE WHEN n > 0 AND mad <> 0 THEN
+            m + mad * list_sum(list_transform(v, x ->
+                least(greatest((x - m) / mad, -1.28), 1.28))) / n
+        END""")
+
+    # tau weight w(x) = (1 - u*u)^2 with u = ((x-m)/(0.675*mad))/4.5,
+    # included only when |w| <= 4.5 (quirk Q4: the test is on the weight)
+    _tau_w = ("((1 - (((x - m) / (0.675 * mad)) / 4.5)"
+              " * (((x - m) / (0.675 * mad)) / 4.5))"
+              " * (1 - (((x - m) / (0.675 * mad)) / 4.5)"
+              " * (((x - m) / (0.675 * mad)) / 4.5)))")
+    sqls["detrend_tau_packed"] = _mad_slider.replace("{EST}", f"""
+        CASE WHEN n > 0 AND mad <> 0 THEN
+            list_sum(list_transform(v, x ->
+                CASE WHEN abs({_tau_w}) <= 4.5 THEN {_tau_w} * x
+                     ELSE 0 END))
+            / list_sum(list_transform(v, x ->
+                CASE WHEN abs({_tau_w}) <= 4.5 THEN {_tau_w} ELSE 0 END))
+        END""")
 
     # masked mean slider: mask = transit_mask on the token index (True =
     # excluded from every window estimate; masked points still receive a
