@@ -569,6 +569,13 @@ def q_detrend_tau_packed(spark, sf_dir):
     return _packed_flat_sum(spark, sf_dir, "tau")
 
 
+def q_detrend_hodges_packed(spark, sf_dir):
+    """Hodges-Lehmann-Sen slider (median of all i<=j pairwise means,
+    O(w^2) per window) — oracle builds the pairwise-mean list with nested
+    indexed lambdas and takes the interpolated median."""
+    return _packed_flat_sum(spark, sf_dir, "hodges")
+
+
 def q_detrend_winsorize_packed(spark, sf_dir):
     """Packed detrend with the winsorized-mean estimator (reference:
     replace int(0.1*n)+1 values per sorted tail with the boundary value,
@@ -631,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
+        "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
         "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
         "detrend_tau_packed": _wrap(q_detrend_tau_packed),
         "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
@@ -1080,6 +1088,55 @@ def oracle_sql() -> dict[str, str]:
             / list_sum(list_transform(v, x ->
                 CASE WHEN abs({_tau_w}) <= 4.5 THEN {_tau_w} ELSE 0 END))
         END""")
+
+    # hodges: interpolated median over the sorted i<=j pairwise-mean list
+    # (same window skeleton; nested indexed lambda builds the pair list)
+    sqls["detrend_hodges_packed"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        hg AS (
+            SELECT user_id, t, y,
+                   list_sort(flatten(list_transform(v, (x, i) ->
+                       list_transform(v[i:], z -> (x + z) / 2)))) AS pw,
+                   len(v) * (len(v) + 1) // 2 AS np
+            FROM adj),
+        tr AS (
+            SELECT user_id, t, y,
+                   CASE WHEN np = 0 THEN NULL
+                        WHEN np % 2 = 1 THEN pw[(np + 1) // 2]
+                        ELSE (pw[np // 2] + pw[np // 2 + 1]) / 2.0
+                   END AS trend
+            FROM hg)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM tr GROUP BY 1
+    """
 
     # masked mean slider: mask = transit_mask on the token index (True =
     # excluded from every window estimate; masked points still receive a
