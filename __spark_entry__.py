@@ -258,6 +258,27 @@ def q_slide_clip_packed(spark, sf_dir):
                           F.size("tokens").alias("n_total"))
 
 
+def q_slide_clip_values(spark, sf_dir):
+    """Sliding clipper with an exact SQL twin.  Although the operator is
+    an order-dependent overwrite loop (Q9b), on a regular integer grid
+    out[j] equals the clip decision of the LAST valid center covering j
+    (c = min(j+25, n-2) for W=50), whose window stats come from the
+    ORIGINAL data — so the whole pass has a closed form the oracle
+    rebuilds: half-open [c-25, c+25) windows with the n-1 cap, and the
+    defaults' quirky stat pair (mean midpoint, population-std cutoff)."""
+    from wotan_spark.spark.ops import slide_clip_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    clipped = slide_clip_sequences(seq, window_length=50)
+    surviving = F.filter("tokens", lambda x: x != -2147483648)
+    y_of = lambda x: 1.0 + x.cast("double") / 1e6  # noqa: E731
+    return clipped.select(
+        "doc_id",
+        F.size(surviving).alias("n_surviving"),
+        F.round(F.aggregate(surviving, F.lit(0.0),
+                            lambda a, x: a + y_of(x)), 6).alias("y_sum"))
+
+
 def q_topk_buckets(spark, sf_dir):
     """Top-3 hourly buckets by mean value per user (rank window over the
     tier-10 rollup) — sorts/limits/top-k coverage."""
@@ -617,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_median_packed": _wrap(q_detrend_median_packed),
         "blocks_roundtrip": _wrap(q_blocks_roundtrip),
         "slide_clip_packed": _wrap(q_slide_clip_packed),
+        "slide_clip_values": _wrap(q_slide_clip_values),
         "topk_buckets": _wrap(q_topk_buckets),
         "token_invariant_chunked": _wrap(q_token_invariant_chunked),
         "detrend_points_longform": _wrap(q_detrend_points_longform),
@@ -1088,6 +1110,63 @@ def oracle_sql() -> dict[str, str]:
             / list_sum(list_transform(v, x ->
                 CASE WHEN abs({_tau_w}) <= 4.5 THEN {_tau_w} ELSE 0 END))
         END""")
+
+    # slide_clip closed form (see q_slide_clip_values): out[j] = clip
+    # decision of center c = least(j+25, n-2) whose half-open window
+    # [c-25, c+25) (minus the capped segment-last point) supplies the
+    # mean/population-std stats; j = n-1 is never written (stays NULL)
+    sqls["slide_clip_values"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 25 PRECEDING AND 24 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t,
+                   CASE WHEN st.t_max - w.t <= 24
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        cstats AS (
+            SELECT user_id, t AS c,
+                   list_sum(v) / len(v) AS mu,
+                   sqrt(list_sum(list_transform(v, x ->
+                       (x - list_sum(v) / len(v))
+                       * (x - list_sum(v) / len(v)))) / len(v)) AS sd
+            FROM adj WHERE len(v) > 0),
+        pts AS (
+            SELECT l.user_id, l.t AS j, l.y,
+                   least(l.t + 25, st.t_max - 1) AS c, st.t_max
+            FROM lim l JOIN st ON st.user_id = l.user_id
+            WHERE st.t_max >= 2 AND l.t <= st.t_max - 1
+                  AND l.t < st.t_max),
+        dec AS (
+            SELECT p.user_id, p.y,
+                   (p.y - s.mu <= 3 * s.sd AND p.y - s.mu >= -3 * s.sd)
+                       AS survive
+            FROM pts p
+            JOIN cstats s ON s.user_id = p.user_id AND s.c = p.c)
+        SELECT 'user_' || user_id AS doc_id,
+               count(*) FILTER (survive) AS n_surviving,
+               round(sum(y) FILTER (survive), 6) AS y_sum
+        FROM dec GROUP BY 1
+    """
 
     # hodges: interpolated median over the sorted i<=j pairwise-mean list
     # (same window skeleton; nested indexed lambda builds the pair list)
