@@ -923,6 +923,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["detrend_points_longform"] = sqls["detrend_mean_packed"]
+    # the chunked skew path is exact for sliders (overlap + trim), so the
+    # unchunked mean oracle applies verbatim
+    sqls["detrend_chunked_packed"] = sqls["detrend_mean_packed"]
 
     sqls["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
