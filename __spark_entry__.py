@@ -927,6 +927,89 @@ def oracle_sql() -> dict[str, str]:
     # unchunked mean oracle applies verbatim
     sqls["detrend_chunked_packed"] = sqls["detrend_mean_packed"]
 
+    # biweight: the Newton-Raphson loop itself as a RECURSIVE CTE —
+    # init at the interpolated median, fixed MAD scale (MAD==0 freezes at
+    # the median), tricube-squared weights zeroed at |u|>=1, iterate until
+    # |step| <= FTOL=1e-6; the last row per (user, t) is the converged
+    # center.  Runs in ~1s at sf0.01 (~5 iterations to converge).
+    _BW_U = "((x - c) * inv)"
+    _BW_W = f"(1 - {_BW_U} * {_BW_U}) * (1 - {_BW_U} * {_BW_U})"
+    sqls["detrend_biweight_packed"] = f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        base AS (
+            SELECT user_id, t, y, v, list_sort(v) AS sv, len(v) AS n
+            FROM adj),
+        m1 AS (
+            SELECT *, CASE WHEN n = 0 THEN NULL
+                           WHEN n % 2 = 1 THEN sv[(n + 1) // 2]
+                           ELSE (sv[n // 2] + sv[n // 2 + 1]) / 2.0
+                      END AS m0
+            FROM base),
+        m2 AS (
+            SELECT *, list_sort(list_transform(v, x -> abs(x - m0))) AS dv
+            FROM m1),
+        m3 AS (
+            SELECT *, CASE WHEN n = 0 THEN NULL
+                           WHEN n % 2 = 1 THEN dv[(n + 1) // 2]
+                           ELSE (dv[n // 2] + dv[n // 2 + 1]) / 2.0
+                      END AS mad
+            FROM m2),
+        prep AS (
+            SELECT user_id, t, y, v, m0,
+                   CASE WHEN mad <> 0 THEN 1.0 / (5.0 * mad) END AS inv,
+                   (mad = 0 OR n = 0) AS done0
+            FROM m3),
+        it AS (
+            SELECT user_id, t, y, v, inv, m0 AS c, 0 AS k, done0 AS done
+            FROM prep
+          UNION ALL
+            SELECT user_id, t, y, v, inv,
+                   c + list_sum(list_transform(v, x ->
+                         CASE WHEN abs({_BW_U}) < 1
+                              THEN {_BW_W} * (x - c) ELSE 0 END))
+                       / list_sum(list_transform(v, x ->
+                         CASE WHEN abs({_BW_U}) < 1
+                              THEN {_BW_W} ELSE 0 END)) AS c2,
+                   k + 1,
+                   (c2 IS NULL OR abs(c2 - c) <= 0.000001) AS done
+            FROM it WHERE NOT done AND k < 100),
+        fin AS (
+            SELECT user_id, t, y, c,
+                   row_number() OVER (PARTITION BY user_id, t
+                                      ORDER BY k DESC) AS rn
+            FROM it)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / c), 6) AS flat_sum,
+               count(y / c) AS n_pts
+        FROM fin WHERE rn = 1 GROUP BY 1
+    """
+
     sqls["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 6) AS sum_qty,
