@@ -590,6 +590,18 @@ def q_detrend_tau_packed(spark, sf_dir):
     return _packed_flat_sum(spark, sf_dir, "tau")
 
 
+def q_detrend_andrewsinewave_packed(spark, sf_dir):
+    """Andrews-sine-wave M-location slider (sin(u)/u weights, zeroed at
+    |u| >= pi; u==0 -> 1e-10 quirk) — RECURSIVE-CTE oracle."""
+    return _packed_flat_sum(spark, sf_dir, "andrewsinewave")
+
+
+def q_detrend_welsch_packed(spark, sf_dir):
+    """Welsch M-location slider (exp(-u^2/2) weights, zeroed at |u| >= 1)
+    — RECURSIVE-CTE oracle."""
+    return _packed_flat_sum(spark, sf_dir, "welsch")
+
+
 def q_detrend_hodges_packed(spark, sf_dir):
     """Hodges-Lehmann-Sen slider (median of all i<=j pairwise means,
     O(w^2) per window) — oracle builds the pairwise-mean list with nested
@@ -661,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
         "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
+        "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
+        "detrend_welsch_packed": _wrap(q_detrend_welsch_packed),
         "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
         "detrend_tau_packed": _wrap(q_detrend_tau_packed),
         "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
@@ -927,14 +941,17 @@ def oracle_sql() -> dict[str, str]:
     # unchunked mean oracle applies verbatim
     sqls["detrend_chunked_packed"] = sqls["detrend_mean_packed"]
 
-    # biweight: the Newton-Raphson loop itself as a RECURSIVE CTE —
-    # init at the interpolated median, fixed MAD scale (MAD==0 freezes at
-    # the median), tricube-squared weights zeroed at |u|>=1, iterate until
-    # |step| <= FTOL=1e-6; the last row per (user, t) is the converged
-    # center.  Runs in ~1s at sf0.01 (~5 iterations to converge).
-    _BW_U = "((x - c) * inv)"
-    _BW_W = f"(1 - {_BW_U} * {_BW_U}) * (1 - {_BW_U} * {_BW_U})"
-    sqls["detrend_biweight_packed"] = f"""
+    # Newton-Raphson M-location sliders as RECURSIVE CTEs — init at the
+    # interpolated median, fixed MAD scale (MAD==0 freezes at the median),
+    # method-specific weights, iterate c += sum(w*(x-c))/sum(w) until
+    # |step| <= FTOL=1e-6; last row per (user, t) is the converged center.
+    # ~1s each at sf0.01 (~5 iterations).
+    def _nr_slider(cval: float, guard: str, w: str) -> str:
+        step_num = (f"list_sum(list_transform(v, x -> CASE WHEN {guard} "
+                    f"THEN ({w}) * (x - c) ELSE 0 END))")
+        step_den = (f"list_sum(list_transform(v, x -> CASE WHEN {guard} "
+                    f"THEN ({w}) ELSE 0 END))")
+        return f"""
         WITH RECURSIVE seq AS (
             SELECT user_id,
                    row_number() OVER (PARTITION BY user_id
@@ -982,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m2),
         prep AS (
             SELECT user_id, t, y, v, m0,
-                   CASE WHEN mad <> 0 THEN 1.0 / (5.0 * mad) END AS inv,
+                   CASE WHEN mad <> 0 THEN 1.0 / ({cval} * mad) END AS inv,
                    (mad = 0 OR n = 0) AS done0
             FROM m3),
         it AS (
@@ -990,12 +1007,7 @@ def oracle_sql() -> dict[str, str]:
             FROM prep
           UNION ALL
             SELECT user_id, t, y, v, inv,
-                   c + list_sum(list_transform(v, x ->
-                         CASE WHEN abs({_BW_U}) < 1
-                              THEN {_BW_W} * (x - c) ELSE 0 END))
-                       / list_sum(list_transform(v, x ->
-                         CASE WHEN abs({_BW_U}) < 1
-                              THEN {_BW_W} ELSE 0 END)) AS c2,
+                   c + {step_num} / {step_den} AS c2,
                    k + 1,
                    (c2 IS NULL OR abs(c2 - c) <= 0.000001) AS done
             FROM it WHERE NOT done AND k < 100),
@@ -1009,6 +1021,18 @@ def oracle_sql() -> dict[str, str]:
                count(y / c) AS n_pts
         FROM fin WHERE rn = 1 GROUP BY 1
     """
+
+    _U = "((x - c) * inv)"
+    sqls["detrend_biweight_packed"] = _nr_slider(
+        5.0, f"abs({_U}) < 1",
+        f"(1 - {_U} * {_U}) * (1 - {_U} * {_U})")
+    # andrewsinewave: u==0 -> 1e-10 before sin(u)/u (kernel _TINY quirk)
+    _UA = f"(CASE WHEN {_U} = 0 THEN 0.0000000001 ELSE {_U} END)"
+    sqls["detrend_andrewsinewave_packed"] = _nr_slider(
+        1.339, f"abs({_UA}) < pi()", f"sin({_UA}) / {_UA}")
+    sqls["detrend_welsch_packed"] = _nr_slider(
+        2.11, f"abs({_U}) < 1", f"exp(-0.5 * ({_U} * {_U}))")
+
 
     sqls["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
