@@ -602,6 +602,22 @@ def q_detrend_welsch_packed(spark, sf_dir):
     return _packed_flat_sum(spark, sf_dir, "welsch")
 
 
+def q_detrend_medfilt_packed(spark, sf_dir):
+    """Cadence-based median filter (scipy-semantics zero-padded edges,
+    kernel size 31) — oracle pads the row window with explicit zeros and
+    takes the exact odd-length median."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="medfilt", window_length=31)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def q_detrend_hodges_packed(spark, sf_dir):
     """Hodges-Lehmann-Sen slider (median of all i<=j pairwise means,
     O(w^2) per window) — oracle builds the pairwise-mean list with nested
@@ -674,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
         "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
         "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
+        "detrend_medfilt_packed": _wrap(q_detrend_medfilt_packed),
         "detrend_welsch_packed": _wrap(q_detrend_welsch_packed),
         "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
         "detrend_tau_packed": _wrap(q_detrend_tau_packed),
@@ -1276,6 +1293,44 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (survive) AS n_surviving,
                round(sum(y) FILTER (survive), 6) AS y_sum
         FROM dec GROUP BY 1
+    """
+
+    # medfilt: zero-padded sliding median, kernel 31 — ROWS window padded
+    # to full length with explicit zeros at the edges; odd length makes
+    # the median the exact middle of the sorted list.  No segment-last cap
+    # here (cadence filter, not a time slider).
+    sqls["detrend_medfilt_packed"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        win AS (
+            SELECT l.user_id, l.t, l.y, st.t_max,
+                   list(l.y) OVER (PARTITION BY l.user_id ORDER BY l.t
+                                   ROWS BETWEEN 15 PRECEDING
+                                   AND 15 FOLLOWING) AS vals
+            FROM lim l JOIN st ON st.user_id = l.user_id),
+        padded AS (
+            SELECT user_id, t, y,
+                   list_sort(list_concat(list_concat(
+                       [0.0::DOUBLE for i in
+                        generate_series(1, greatest(0, 15 - t))],
+                       vals),
+                       [0.0::DOUBLE for i in generate_series(
+                            1, greatest(0, t + 15 - t_max))])) AS pv
+            FROM win),
+        tr AS (
+            SELECT user_id, t, y,
+                   CASE WHEN pv[16] = 0 THEN NULL ELSE pv[16] END AS trend
+            FROM padded)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / trend), 6) AS flat_sum,
+               count(y / trend) AS n_pts
+        FROM tr GROUP BY 1
     """
 
     # hodges: interpolated median over the sorted i<=j pairwise-mean list
