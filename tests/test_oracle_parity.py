@@ -68,6 +68,20 @@ def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 
 
+def test_contract_size_never_regresses():
+    """Guard against accidentally dropping queries()/oracle_sql() entries
+    (block edits to the big oracle dict have done this once): pin the
+    minimum contract size and the exact rows-only set."""
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert len(q) >= 50, f"queries() shrank to {len(q)}"
+    assert len(o) >= 47, f"oracle_sql() shrank to {len(o)}"
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    assert rows_only <= {"cosine_topk_ivf", "detrend_rspline_packed",
+                         "slide_clip_packed"}, \
+        f"unexpected rows-only queries: {rows_only}"
+
+
 def test_every_oracle_key_has_a_query():
     q = entrymod.queries()
     missing = [k for k in ORACLE_KEYS if k not in q]
