@@ -602,6 +602,24 @@ def q_detrend_welsch_packed(spark, sf_dir):
     return _packed_flat_sum(spark, sf_dir, "welsch")
 
 
+def q_detrend_masked_biweight_packed(spark, sf_dir):
+    """Transit-masked biweight: the known-signal exclusion composed with
+    the iterative Newton-Raphson fit, both rebuilt in the recursive SQL
+    twin (masked points leave every window; masked centers still receive
+    a trend from their unmasked neighbors)."""
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences(seq, method="biweight", window_length=17,
+                            mask_transit=(50.0, 6.0, 10.0))
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def q_detrend_medfilt_packed(spark, sf_dir):
     """Cadence-based median filter (scipy-semantics zero-padded edges,
     kernel size 31) — oracle pads the row window with explicit zeros and
@@ -691,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
         "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
         "detrend_medfilt_packed": _wrap(q_detrend_medfilt_packed),
+        "detrend_masked_biweight_packed":
+            _wrap(q_detrend_masked_biweight_packed),
         "detrend_welsch_packed": _wrap(q_detrend_welsch_packed),
         "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
         "detrend_tau_packed": _wrap(q_detrend_tau_packed),
@@ -963,11 +983,29 @@ def oracle_sql() -> dict[str, str]:
     # method-specific weights, iterate c += sum(w*(x-c))/sum(w) until
     # |step| <= FTOL=1e-6; last row per (user, t) is the converged center.
     # ~1s each at sf0.01 (~5 iterations).
-    def _nr_slider(cval: float, guard: str, w: str) -> str:
+    def _nr_slider(cval: float, guard: str, w: str,
+                   masked: bool = False) -> str:
         step_num = (f"list_sum(list_transform(v, x -> CASE WHEN {guard} "
                     f"THEN ({w}) * (x - c) ELSE 0 END))")
         step_den = (f"list_sum(list_transform(v, x -> CASE WHEN {guard} "
                     f"THEN ({w}) ELSE 0 END))")
+        if masked:
+            # windows exclude masked points entirely (masked centers still
+            # receive a trend); the Q1 cap removes the segment-last value
+            # only when that value is itself unmasked
+            mask_col = ", (abs(fmod(t - 10 + 25, 50) - 25) < 3) AS masked"
+            vals_expr = ("list_filter(list(CASE WHEN masked THEN NULL "
+                         "ELSE y END) OVER (PARTITION BY user_id ORDER BY t "
+                         "RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING), "
+                         "x -> x IS NOT NULL)")
+            lastv_cols = ", l.masked AS last_masked"
+            cap_cond = "st.t_max - w.t <= 8 AND NOT lv.last_masked"
+        else:
+            mask_col = ""
+            vals_expr = ("list(y) OVER (PARTITION BY user_id ORDER BY t "
+                         "RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)")
+            lastv_cols = ""
+            cap_cond = "st.t_max - w.t <= 8"
         return f"""
         WITH RECURSIVE seq AS (
             SELECT user_id,
@@ -975,20 +1013,18 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id) - 1 AS t,
                    1.0 + round(value * 1000) / 1000000.0 AS y
             FROM events),
-        lim AS (SELECT * FROM seq WHERE t < 4096),
+        lim AS (SELECT *{mask_col} FROM seq WHERE t < 4096),
         st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
         lastv AS (
-            SELECT l.user_id, l.y AS y_last
+            SELECT l.user_id, l.y AS y_last{lastv_cols}
             FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
         win AS (
             SELECT user_id, t, y,
-                   list(y) OVER (PARTITION BY user_id ORDER BY t
-                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
-                       AS vals
+                   {vals_expr} AS vals
             FROM lim),
         adj AS (
             SELECT w.user_id, w.t, w.y,
-                   CASE WHEN st.t_max - w.t <= 8
+                   CASE WHEN {cap_cond}
                         THEN list_concat(
                             vals[1:list_position(vals, lv.y_last) - 1],
                             vals[list_position(vals, lv.y_last) + 1:])
@@ -1049,6 +1085,11 @@ def oracle_sql() -> dict[str, str]:
         1.339, f"abs({_UA}) < pi()", f"sin({_UA}) / {_UA}")
     sqls["detrend_welsch_packed"] = _nr_slider(
         2.11, f"abs({_U}) < 1", f"exp(-0.5 * ({_U} * {_U}))")
+    # masked biweight: known-signal exclusion composed with the iterative
+    # NR fit — windows drop masked points, masked centers keep a trend
+    sqls["detrend_masked_biweight_packed"] = _nr_slider(
+        5.0, f"abs({_U}) < 1",
+        f"(1 - {_U} * {_U}) * (1 - {_U} * {_U})", masked=True)
 
 
     sqls["pricing_summary"] = """
