@@ -149,6 +149,47 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert rows[9].n == 1 and rows[9].y_sum == 0.5
 
 
+def test_streaming_session_windows_merge_across_batches(spark, tmp_path):
+    """session_window under a watermark: an in-gap event arriving in a
+    later micro-batch extends the same session; a beyond-gap event opens
+    a new one; sessions finalize once the watermark passes their end."""
+    import pandas as pd
+    from wotan_spark.spark.streaming import streaming_session_rollup
+
+    landing = tmp_path / "sesspoints"
+    landing.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    mn = pd.Timedelta("1 minute")
+
+    def write(name, ts, ys):
+        import time
+        pdf = pd.DataFrame({"doc_id": ["a"] * len(ts), "ts": ts, "y": ys})
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(landing / name)
+        time.sleep(0.05)
+
+    # batch 1: two events 10 min apart (one session so far)
+    write("f1.parquet", [t0, t0 + 10 * mn], [1.0, 2.0])
+    # batch 2: an in-gap event 20 min later extends the SAME session,
+    # plus a beyond-gap event that opens a second session
+    write("f2.parquet", [t0 + 30 * mn, t0 + 120 * mn], [3.0, 10.0])
+    # batch 3: advance event time far enough that both sessions finalize
+    write("f3.parquet", [t0 + 600 * mn], [0.5])
+
+    streaming_session_rollup(spark, str(landing), str(tmp_path / "ck"),
+                             query_name="sess_rollup", gap="30 minutes",
+                             watermark="1 hour")
+    rows = sorted(spark.sql("select * from sess_rollup").collect(),
+                  key=lambda r: r.s_start)
+    assert len(rows) >= 2
+    first, second = rows[0], rows[1]
+    # merged session spans t0 .. t0+30min+gap with all three events
+    assert first.n == 3 and first.y_sum == 6.0
+    assert first.s_start == t0.to_pydatetime()
+    assert first.s_end == (t0 + 60 * mn).to_pydatetime()  # last + 30min gap
+    assert second.n == 1 and second.y_sum == 10.0
+
+
 def test_streaming_stateful_running_stats(spark, tmp_path):
     """applyInPandasWithState: per-series state survives micro-batch
     boundaries — a gap-free segment split across two files is counted

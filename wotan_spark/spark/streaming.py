@@ -73,6 +73,33 @@ TS_POINTS_SCHEMA = StructType([
 ])
 
 
+def streaming_session_rollup(spark: SparkSession, landing_dir: str,
+                             checkpoint_dir: str, query_name: str,
+                             gap: str = "30 minutes",
+                             watermark: str = "2 hours",
+                             max_files_per_trigger: int = 1):
+    """Streaming gap-based session aggregation: ``session_window`` under a
+    watermark — sessions merge as in-gap events arrive across micro-batches
+    and finalize (append mode) once the watermark passes session end."""
+    import pyspark.sql.functions as F
+
+    stream = (spark.readStream.schema(TS_POINTS_SCHEMA).format("parquet")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(landing_dir))
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.session_window("ts", gap).alias("w"), "doc_id")
+           .agg(F.count("*").alias("n"), F.sum("y").alias("y_sum"))
+           .select("doc_id", F.col("w.start").alias("s_start"),
+                   F.col("w.end").alias("s_end"), "n", "y_sum"))
+    q = (agg.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def streaming_windowed_rollup(spark: SparkSession, landing_dir: str,
                               checkpoint_dir: str, query_name: str,
                               bucket: str = "1 hour",
