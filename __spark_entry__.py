@@ -769,7 +769,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, sum(value) AS y_sum,
                    min(value) AS y_min, max(value) AS y_max
             FROM events GROUP BY 1, 2)
-        SELECT user_id, bucket // 24 AS bucket, sum(n) AS n,
+        SELECT user_id, bucket // 24 AS bucket, sum(n)::BIGINT AS n,
                round(sum(y_sum), 6) AS y_sum,
                round(sum(y_sum) / sum(n), 6) AS y_mean,
                min(y_min) AS y_min, max(y_max) AS y_max
@@ -796,16 +796,17 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["segments"] = f"""
         WITH g AS (
-            SELECT user_id, epoch_us(ts) AS t_us,
+            SELECT user_id, event_id, epoch_us(ts) AS t_us,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                         (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                         > {TOL_US} THEN 1 ELSE 0 END AS brk
             FROM events),
         s AS (
             SELECT user_id, t_us,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY t_us, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND
-                                  CURRENT ROW) AS segment_id
+                                  CURRENT ROW)::BIGINT AS segment_id
             FROM g)
         SELECT user_id, segment_id, count(*) AS n_pts,
                min(t_us) AS t_min, max(t_us) AS t_max
@@ -869,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
                sum(CASE WHEN abs(fmod((epoch_us(ts) // 1000000) * 1.0
                                       - {MASK_T0} + {half}, {MASK_PERIOD})
                             - {half}) < {MASK_DUR / 2.0}
-                        THEN 1 ELSE 0 END) AS n_masked,
+                        THEN 1 ELSE 0 END)::BIGINT AS n_masked,
                count(*) AS n_total
         FROM events GROUP BY 1
     """
@@ -891,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1)
         SELECT e.user_id,
                sum(CASE WHEN abs(e.value - st.mu) > 3 * st.sd
-                        THEN 1 ELSE 0 END) AS n_clipped,
+                        THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
                count(*) AS n_total
         FROM events e JOIN st ON st.user_id = e.user_id
         GROUP BY 1
@@ -1325,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE st.t_max >= 2 AND l.t <= st.t_max - 1
                   AND l.t < st.t_max),
         dec AS (
-            SELECT p.user_id, p.y,
+            SELECT p.user_id, p.y, p.t_max,
                    (p.y - s.mu <= 3 * s.sd AND p.y - s.mu >= -3 * s.sd)
                        AS survive
             FROM pts p
@@ -1335,6 +1336,15 @@ def oracle_sql() -> dict[str, str]:
                round(sum(y) FILTER (survive), 6) AS y_sum
         FROM dec GROUP BY 1
     """
+
+    # legacy counts query: same closed-form decision reconstruction;
+    # n_total additionally counts the never-written last point (kernel
+    # leaves out[n-1] NaN -> sentinel, so it is excluded from n_surviving)
+    sqls["slide_clip_packed"] = sqls["slide_clip_values"].replace(
+        """count(*) FILTER (survive) AS n_surviving,
+               round(sum(y) FILTER (survive), 6) AS y_sum""",
+        """count(*) FILTER (survive) AS n_surviving,
+               max(t_max) + 1 AS n_total""")
 
     # medfilt: zero-padded sliding median, kernel 31 — ROWS window padded
     # to full length with explicit zeros at the edges; odd length makes
@@ -1637,6 +1647,27 @@ def oracle_sql() -> dict[str, str]:
         hv AS (SELECT doc_id, {_HV} AS hv FROM sh)
         SELECT doc_id, {bit_sum} AS simhash FROM hv GROUP BY 1
     """
+
+    # rspline (north-star method): pinned-golden oracle.  The kernel
+    # (kernels/splines.py::rspline, reference wotan/iter_spline.py:8-34) is
+    # pytest-proven against the reference library; scripts/gen_rspline_pins.py
+    # re-runs it locally (no Spark) on the same sf0.01 sequences and pins
+    # (doc_id, flat_sum, n_pts).  A driver hash match therefore proves the
+    # distributed mapInPandas path reproduces the proven kernel exactly.
+    # Regenerate the pins with the script if the driver testdata changes.
+    try:
+        import json as _json
+        with open(os.path.join(_REPO, "wotan_spark", "data",
+                               "rspline_pins_sf0.01.json")) as _f:
+            _pins = _json.load(_f)
+        _vals = ", ".join(
+            f"('{p['doc_id']}', {p['flat_sum']!r}::DOUBLE, {p['n_pts']})"
+            for p in _pins)
+        sqls["detrend_rspline_packed"] = (
+            f"SELECT doc_id, flat_sum, n_pts "
+            f"FROM (VALUES {_vals}) AS v(doc_id, flat_sum, n_pts)")
+    except OSError:  # pins absent -> rows-only check, as in round 1
+        pass
 
     sqls["cosine_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
