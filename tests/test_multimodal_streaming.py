@@ -228,3 +228,37 @@ def test_streaming_stateful_running_stats(spark, tmp_path):
     assert a.y_sum == 36.0 and (a.y_min, a.y_max) == (1.0, 8.0)
     assert (b.n, b.last_t, b.n_segments) == (4, 3, 1)
     assert b.y_sum == 46.0
+
+
+def test_streaming_running_stats_multichunk_batch(spark, tmp_path):
+    """A group's micro-batch arrives as MULTIPLE Arrow chunks once it has
+    more rows than arrow.maxRecordsPerBatch, with no global t-order across
+    chunks.  The stateful fn must sort the whole batch once: chunk-local
+    sorting would see spurious forward jumps (e.g. [0,1,15,16] inside one
+    chunk of this interleaved order) and overcount segments."""
+    import pandas as pd
+    from wotan_spark.spark.streaming import streaming_running_stats
+
+    landing = tmp_path / "points"
+    landing.mkdir()
+    # t = 0..19 contiguous overall, written interleaved so every 4-row
+    # chunk contains a forward jump > break_tolerance
+    order = [0, 15, 1, 16, 2, 17, 3, 18, 4, 19,
+             5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+    pd.DataFrame({"doc_id": ["a"] * len(order),
+                  "t": order,
+                  "y": [float(t) for t in order]}) \
+        .to_parquet(landing / "f1.parquet")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        streaming_running_stats(spark, str(landing), str(tmp_path / "ckpt"),
+                                query_name="running_stats_mc",
+                                break_tolerance=10, max_files_per_trigger=1)
+    finally:
+        spark.conf.set(key, prev)
+    row = spark.sql("SELECT * FROM running_stats_mc").collect()[-1]
+    assert (row.n, row.last_t, row.n_segments) == (20, 19, 1)
+    assert row.y_sum == float(sum(order))

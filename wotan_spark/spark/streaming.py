@@ -151,24 +151,30 @@ _STATE_SCHEMA = StructType([
 def _running_stats_fn(break_tolerance: int):
     def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
             n, y_sum, y_min, y_max, last_t, n_seg = state.get
         else:
             n, y_sum, y_min, y_max, last_t, n_seg = (
                 0, 0.0, float("inf"), float("-inf"), -1, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("t")
-            t = pdf["t"].to_numpy()
-            y = pdf["y"].to_numpy()
-            if len(t) == 0:
-                continue
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks (split at
+        # spark.sql.execution.arrow.maxRecordsPerBatch) in no global
+        # t-order: materialize and sort ONCE, then update state from the
+        # globally ordered arrays — per-chunk sorting would miscount
+        # segments whenever a chunk boundary interleaves timestamps
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            batch = batch.sort_values("t", kind="mergesort")
+            t = batch["t"].to_numpy()
+            y = batch["y"].to_numpy()
             # segment boundaries, including the one spanning the previous
             # micro-batch (state carries last_t across batches)
-            prev = last_t if n > 0 else None
-            for ti in t:
-                if prev is None or ti - prev > break_tolerance:
-                    n_seg += 1
-                prev = int(ti)
+            n_seg += int((np.diff(t) > break_tolerance).sum())
+            if n == 0 or t[0] - last_t > break_tolerance:
+                n_seg += 1
             n += len(t)
             y_sum += float(y.sum())
             y_min = min(y_min, float(y.min()))
