@@ -136,3 +136,19 @@ def test_ivf_ann_recall(spark):
     for r in approx:
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_near_dup_auto_dispatches_to_lsh_above_cap(spark):
+    """The DEFAULT method must be scale-safe: above exact_max rows the
+    auto path must route to LSH (no full-corpus driver collect); at or
+    below it, to the exact path (superset of the LSH candidate pairs)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    exact = {(r.vec_id_a, r.vec_id_b)
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=0.3, exact_max=n).collect()}
+    lsh = {(r.vec_id_a, r.vec_id_b)
+           for r in embedding_near_dup_pairs(
+               emb, threshold=0.3, exact_max=n - 1).collect()}
+    assert lsh <= exact            # LSH candidates are exact-verified
+    assert len(lsh) >= 0.5 * len(exact)   # recall sanity at this threshold

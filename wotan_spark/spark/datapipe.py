@@ -27,12 +27,17 @@ def _words(col):
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition up to the cluster's parallelism when the scan produced
-    fewer partitions (small file count) — the downstream shingle explode is
-    CPU-bound and must not run on one core.  No-op when the scan already
-    has enough partitions (the 100 TB case), so no extra shuffle at scale.
-    """
+    few input files — the downstream shingle explode is CPU-bound and must
+    not run on one core.  No-op when the scan already has enough files (the
+    100 TB case), so no extra shuffle at scale.  Gates on the scan's file
+    metadata (``inputFiles``), NOT ``df.rdd.getNumPartitions()``, which
+    would force a DataFrame->RDD plan conversion on every call."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source: spread unconditionally
+        n_files = 0
+    if n_files < n:
         return df.repartition(n, *cols) if cols else df.repartition(n)
     return df
 
@@ -108,7 +113,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                   F.explode("gr").alias("shingle"))
           .select(md5_long(F.col("shingle")).alias("hv"),
                   F.struct("doc_id", "n_sh").alias("m")))
-    pairs = (sh.groupBy("hv").agg(F.collect_list("m").alias("ms"))
+    # array_distinct: a cross-shingle 56-bit hash collision would put the
+    # same doc twice in one bucket and emit a self-pair / inflate the
+    # intersection count — dedupe members so a rare collision degrades
+    # gracefully (negligible probability, nonzero at 10^12-doc scale)
+    pairs = (sh.groupBy("hv")
+             .agg(F.array_distinct(F.collect_list("m")).alias("ms"))
              .filter(F.size("ms") > 1)
              .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
              .select(F.col("p.a.doc_id").alias("doc_a"),
@@ -152,9 +162,13 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
         "doc_id",
         F.transform("ordered", lambda s: s["hv"]).alias("hvs"),
         F.size("ordered").alias("n_sh"))
-    # three consumers below (prefix explode + both verify sides): checkpoint
-    # so the shingle subtree is evaluated once, not three times
-    per_doc = per_doc.localCheckpoint(eager=False)
+    # three consumers below (prefix explode + both verify sides): persist so
+    # the shingle subtree is evaluated once, not three times.  MEMORY_AND_DISK
+    # keeps recomputable lineage (an executor loss just recomputes the lost
+    # partitions), unlike localCheckpoint whose executor-local blocks are
+    # unrecoverable at scale.
+    from pyspark import StorageLevel
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     # the -1e-9 guards FP-upward drift in t*n: a too-large ceil would
     # shorten the prefix and silently drop true pairs; erring longer only
     # adds candidates
@@ -165,7 +179,7 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
               .select("doc_id", "n_sh",
                       F.explode(F.slice("hvs", 1, p_len)).alias("hv")))
     cand = (prefix.groupBy("hv")
-            .agg(F.collect_list("doc_id").alias("ids"))
+            .agg(F.array_distinct(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids") > 1)
             .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
             .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -360,23 +374,34 @@ def _rerank_candidates(emb: DataFrame, cand: DataFrame,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+EXACT_NEAR_DUP_MAX = 200_000  # corpus rows above which "auto" routes to LSH
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.3,
                              round_to: int = 5,
-                             method: str = "exact") -> DataFrame:
+                             method: str = "auto",
+                             exact_max: int = EXACT_NEAR_DUP_MAX) -> DataFrame:
     """Embedding-cosine near-duplicate pairs:
     (vec_id_a, vec_id_b, cos_sim) with vec_id_a < vec_id_b and
     cosine >= threshold.
 
-    ``exact``: every partition scores its rows against the broadcast
-    normalized corpus matrix (collected once — fine up to ~10^6 vectors;
-    beyond that use ``lsh``).  ``lsh``: hyperplane-bucket candidates then
-    exact rerank — the at-scale path, approximate (bucket recall).
+    ``auto`` (default): exact when the corpus fits the broadcast-matrix
+    budget (``exact_max`` rows), else the LSH path — so the DEFAULT is
+    scale-safe and no full-corpus driver collect is reachable on a large
+    table.  ``exact``: every partition scores its rows against the
+    normalized corpus matrix collected once on the driver (O(n*d) memory —
+    explicit opt-in beyond exact_max).  ``lsh``: hyperplane-bucket
+    candidates then exact rerank — approximate (bucket recall, tested).
     """
     import numpy as np
     import pandas as pd
     from typing import Iterator
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
+
+    if method == "auto":
+        # metadata-level count (parquet row-count scan, no data read)
+        method = "exact" if emb.count() <= exact_max else "lsh"
 
     out_schema = StructType([
         StructField("vec_id_a", LongType(), False),
