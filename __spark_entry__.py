@@ -456,6 +456,23 @@ def q_tier10_median(spark, sf_dir):
              F.round(F.median("value"), 6).alias("y_median")))
 
 
+def q_tier100_median_exact(spark, sf_dir):
+    """Exact tier-100 median recomputed from tier-10 retained value arrays
+    (collect_list per hourly bucket -> flatten 24 of them -> exact
+    interpolated median), never from raw — the recompute pattern for
+    non-additive stats that ``cascade_tier`` correctly NULLs."""
+    from wotan_spark.spark.rollup import cascade_median_exact
+    ev = _events(spark, sf_dir)
+    t10 = (ev.groupBy(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+        .alias("bucket"))
+        .agg(F.collect_list("value").alias("vals")))
+    out = cascade_median_exact(t10, key="user_id", step=24)
+    return out.select("user_id", "bucket", "n",
+                      F.round("y_median", 6).alias("y_median"))
+
+
 def q_detrend_trim_mean_packed(spark, sf_dir):
     """Packed detrend with the trimmed-mean robust estimator (reference
     trim_mean: sort window, drop int(0.1*n) per tail, mean) — oracle
@@ -703,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
         "embedding_near_dups": _wrap(q_embedding_near_dups),
         "tier10_median": _wrap(q_tier10_median),
+        "tier100_median_exact": _wrap(q_tier100_median_exact),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
@@ -1148,6 +1166,15 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["tier10_median"] = f"""
         SELECT user_id, epoch_us(ts) // {HOUR_US} AS bucket,
+               count(*) AS n, round(median(value), 6) AS y_median
+        FROM events GROUP BY 1, 2
+    """
+
+    # the engine recomputes this from tier-10 arrays; the oracle computes
+    # the same multiset median directly from raw — equality proves the
+    # recompute-from-finer-tier path is exact
+    sqls["tier100_median_exact"] = f"""
+        SELECT user_id, (epoch_us(ts) // {HOUR_US}) // 24 AS bucket,
                count(*) AS n, round(median(value), 6) AS y_median
         FROM events GROUP BY 1, 2
     """

@@ -187,6 +187,33 @@ def cascade_tier(tier: DataFrame, step: int = 10) -> DataFrame:
     )
 
 
+def cascade_median_exact(tier_vals: DataFrame, key: str = "doc_id",
+                         step: int = 10, vals: str = "vals") -> DataFrame:
+    """Exact non-additive statistic at a coarser tier, recomputed from the
+    finer tier's retained value arrays instead of from raw data.
+
+    ``cascade_tier`` correctly reports NULL for the cascaded median (it
+    does not re-aggregate); this is the escape hatch: the finer tier keeps
+    ``collect_list`` value arrays per bucket, the coarser tier flattens
+    ``step`` of them and takes the exact interpolated median — one shuffle
+    on (key, coarse bucket), never a second scan of raw.  The median itself
+    is pure Catalyst (array_sort + middle elements, numpy's even-count
+    interpolation), so it stays in whole-stage codegen.
+    """
+    g = tier_vals.groupBy(
+        key, (F.col("bucket") / step).cast("long").alias("bucket"))
+    agg = g.agg(F.array_sort(F.flatten(F.collect_list(vals))).alias("sv"))
+    n = F.size("sv")
+    mid = F.element_at("sv", ((n + 1) / 2).cast("int"))
+    lo = F.element_at("sv", (n / 2).cast("int"))
+    hi = F.element_at("sv", (n / 2 + 1).cast("int"))
+    med = (F.when(n == 0, F.lit(None).cast("double"))
+           .when(n % 2 == 1, mid)
+           .otherwise((lo + hi) / 2.0))
+    return agg.select(key, "bucket", n.cast("long").alias("n"),
+                      med.alias("y_median"))
+
+
 def explode_points(sequences: DataFrame, drop_null: bool = False) -> DataFrame:
     """Long-form view for SQL-native window operators:
     (doc_id, t, y, source).  Sentinel tokens decode to NULL."""
