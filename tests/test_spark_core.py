@@ -244,3 +244,39 @@ def test_transit_mask_col(spark):
                     df.select(transit_mask_col(F.col("t"), 3.1, 0.4, 1.0))
                     .collect()])
     npt.assert_array_equal(got, ref)
+
+
+def test_auto_chunk_routing_matches_unchunked(spark):
+    """detrend_sequences_auto must reproduce the packed path exactly while
+    routing long rows through the chunked branch: with a 700-token
+    threshold this corpus exercises BOTH branches (and both must agree
+    with the unrouted operator bit-for-bit)."""
+    from wotan_spark.spark.detrend_op import detrend_sequences_auto
+
+    seq = _seq(spark)
+    n_long = seq.filter(F.col("n_tok") > 700).count()
+    assert 0 < n_long < N_DOCS  # both branches populated
+    plain = {r.doc_id: r for r in
+             detrend_sequences(seq, method="biweight",
+                               window_length=17).collect()}
+    routed = detrend_sequences_auto(seq, method="biweight",
+                                    chunk_threshold=700, chunk_size=256,
+                                    window_length=17).collect()
+    assert len(routed) == N_DOCS
+    for row in routed:
+        npt.assert_allclose(
+            np.asarray(row.flat, dtype=np.float64),
+            np.asarray(plain[row.doc_id].flat, dtype=np.float64),
+            rtol=1e-12, equal_nan=True)
+
+
+def test_auto_chunk_global_fit_falls_back_unchunked(spark):
+    """Global-fit methods are not chunkable: auto must route every row
+    through the packed path (plan has a single mapInPandas subtree)."""
+    from wotan_spark.spark.detrend_op import detrend_sequences_auto
+
+    seq = _seq(spark)
+    routed = detrend_sequences_auto(seq, method="cosine", chunk_threshold=64,
+                                    window_length=6.0)
+    assert "Union" not in routed._jdf.queryExecution().optimizedPlan().toString()
+    assert routed.count() == N_DOCS

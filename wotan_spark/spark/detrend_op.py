@@ -153,6 +153,52 @@ def detrend_points(points: DataFrame, method: str = "biweight",
     return points.groupBy("doc_id").applyInPandas(run, schema=schema)
 
 
+# routing threshold: a doc only benefits from chunking when its solo kernel
+# time rivals a whole task's mean wall (the vectorized sliders run
+# ~300k pts/s/core, so 64k tokens ~ 0.2s — below that, chunking's extra
+# shuffle + reassembly stages cost more than the straggler they remove)
+AUTO_CHUNK_THRESHOLD = 65536
+
+# methods whose trend estimate is local (window/kernel-bounded), so
+# overlap-chunking reproduces the unchunked output exactly (tested);
+# global fits (splines, gp, cofiam, regressions, ...) are not chunkable
+_CHUNKABLE_METHODS = frozenset(
+    ["biweight", "andrewsinewave", "welsch", "hodges", "median", "mean",
+     "trim_mean", "winsorize", "huber_psi", "hampelfilt", "tau",  # sliders
+     "huber", "hampel", "ramsay",                    # iterative sliders
+     "medfilt", "savgol", "lowess"])                 # local filters
+
+
+def detrend_sequences_auto(df: DataFrame, method: str = "biweight",
+                           chunk_threshold: int = AUTO_CHUNK_THRESHOLD,
+                           chunk_size: int | None = None,
+                           **params) -> DataFrame:
+    """Single routing entry point for skewed sequence lengths (north_rule:
+    salted repartitioning for skewed long sequences): rows with
+    ``n_tok <= chunk_threshold`` take the zero-shuffle packed path; longer
+    rows are overlap-chunked, salted across tasks, detrended, and
+    reassembled — so one 500k-token doc no longer pins a single task for
+    the whole stage.  Non-chunkable (global-fit) methods and masked runs
+    fall back to the packed path for all rows.
+
+    Plan shape: two branches of one union, each with the ``n_tok``
+    predicate pushed to the parquet scan.  At 100 TB the long-branch scan
+    skips every row group whose n_tok max is under the threshold (the
+    lognormal tail is rare), so the second scan costs proportional to the
+    skewed tail, not the corpus.
+    """
+    if (method not in _CHUNKABLE_METHODS or "mask_col" in params
+            or "mask_transit" in params):
+        return detrend_sequences(df, method=method, **params)
+    if chunk_size is None:
+        chunk_size = chunk_threshold
+    short = df.filter(F.col("n_tok") <= chunk_threshold)
+    long_ = df.filter(F.col("n_tok") > chunk_threshold)
+    return (detrend_sequences(short, method=method, **params)
+            .unionByName(detrend_sequences_chunked(
+                long_, method=method, chunk_size=chunk_size, **params)))
+
+
 def split_chunks(df: DataFrame, chunk_size: int, overlap: int) -> DataFrame:
     """Explode long sequences into overlapping chunk rows.
 
@@ -209,11 +255,16 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
         overlap = int(math.ceil(wl + bt)) + 1
 
     chunks = split_chunks(df, chunk_size, overlap)
-    # round-robin salt: spread one doc's chunks across tasks
-    if num_partitions:
-        chunks = chunks.repartition(num_partitions)
-    else:
-        chunks = chunks.repartition(F.col("doc_id"), F.col("chunk_id"))
+    # salt: spread one doc's chunks across tasks by (doc_id, chunk_id) hash.
+    # The partition count MUST be explicit — a bare column repartition is
+    # AQE-coalescible, and chunk rows are few BYTES but heavy CPU, so AQE's
+    # byte-targeted coalescing would fold them back into one task and
+    # recreate the straggler this operator exists to remove.
+    if num_partitions is None:
+        num_partitions = max(
+            df.sparkSession.sparkContext.defaultParallelism, 8)
+    chunks = chunks.repartition(num_partitions,
+                                F.col("doc_id"), F.col("chunk_id"))
 
     piece_schema = StructType([
         StructField("doc_id", StringType(), False),
