@@ -261,13 +261,17 @@ def test_auto_chunk_routing_matches_unchunked(spark):
                                window_length=17).collect()}
     routed = detrend_sequences_auto(seq, method="biweight",
                                     chunk_threshold=700, chunk_size=256,
-                                    window_length=17).collect()
+                                    window_length=17,
+                                    keep_tokens=True).collect()
     assert len(routed) == N_DOCS
+    orig_tokens = {r.doc_id: r.tokens for r in seq.collect()}
     for row in routed:
         npt.assert_allclose(
             np.asarray(row.flat, dtype=np.float64),
             np.asarray(plain[row.doc_id].flat, dtype=np.float64),
             rtol=1e-12, equal_nan=True)
+        # per-row invariant: token arrays survive the routed paths exactly
+        assert list(row.tokens) == list(orig_tokens[row.doc_id])
 
 
 def test_auto_chunk_global_fit_falls_back_unchunked(spark):

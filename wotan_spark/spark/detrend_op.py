@@ -240,11 +240,14 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
                               chunk_size: int = 8192,
                               overlap: int | None = None,
                               num_partitions: int | None = None,
+                              keep_tokens: bool = False,
                               **params) -> DataFrame:
     """Skew-safe detrend: chunk, spread, detrend, reassemble.
 
     Exact for the local (slider/filter) methods when
-    ``overlap >= window_length + break_tolerance``.
+    ``overlap >= window_length + break_tolerance``.  ``keep_tokens``
+    carries the core token slices through the pieces and reassembles the
+    original arrays bit-exactly (the per-row invariant).
     """
     params = dict(params, method=method)
     wl = params.get("window_length") or 2
@@ -266,25 +269,31 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
     chunks = chunks.repartition(num_partitions,
                                 F.col("doc_id"), F.col("chunk_id"))
 
-    piece_schema = StructType([
+    piece_fields = [
         StructField("doc_id", StringType(), False),
         StructField("chunk_id", IntegerType(), False),
         StructField("n_tok", IntegerType(), False),
         StructField("source", StringType(), True),
         StructField("flat", ArrayType(DoubleType(), True), True),
         StructField("trend", ArrayType(DoubleType(), True), True),
-    ])
+    ]
+    if keep_tokens:
+        piece_fields.append(
+            StructField("tokens", ArrayType(IntegerType(), True), False))
+    piece_schema = StructType(piece_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            flats, trends = [], []
+            flats, trends, toks_out = [], [], []
             for toks, lead, core in zip(pdf["tokens"], pdf["lead"], pdf["core"]):
-                flat, trend = _detrend_one(np.asarray(toks, dtype=np.int32),
-                                           params)
+                toks = np.asarray(toks, dtype=np.int32)
+                flat, trend = _detrend_one(toks, params)
                 sl = slice(int(lead), int(lead) + int(core))
                 flats.append(flat[sl])
                 trends.append(trend[sl])
-            yield pd.DataFrame({
+                if keep_tokens:
+                    toks_out.append(toks[sl])
+            out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "chunk_id": pdf["chunk_id"].astype("int32"),
                 "n_tok": pdf["n_tok"].astype("int32"),
@@ -292,6 +301,9 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
                 "flat": flats,
                 "trend": trends,
             })
+            if keep_tokens:
+                out["tokens"] = toks_out
+            yield out
 
     pieces = chunks.mapInPandas(run, schema=piece_schema)
 
@@ -301,13 +313,18 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
                                for a in pdf["flat"]])
         trend = np.concatenate([np.asarray(a, dtype=np.float64)
                                 for a in pdf["trend"]])
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": [key[0]],
             "n_tok": [np.int32(pdf["n_tok"].iloc[0])],
             "source": [pdf["source"].iloc[0]],
             "flat": [flat],
             "trend": [trend],
         })
+        if keep_tokens:
+            out["tokens"] = [np.concatenate(
+                [np.asarray(a, dtype=np.int32) for a in pdf["tokens"]])]
+        return out
 
-    return pieces.groupBy("doc_id").applyInPandas(reassemble,
-                                                  schema=DETREND_SCHEMA)
+    return pieces.groupBy("doc_id").applyInPandas(
+        reassemble,
+        schema=DETREND_SCHEMA_TOKENS if keep_tokens else DETREND_SCHEMA)

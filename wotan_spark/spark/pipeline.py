@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from wotan_spark.spark.blocks import encode_blocks
-from wotan_spark.spark.detrend_op import detrend_sequences
+from wotan_spark.spark.detrend_op import detrend_sequences_auto
 from wotan_spark.spark.lakehouse import SnapshotTable
 from wotan_spark.spark.rollup import cascade_tier, rollup_tier10
 
@@ -130,9 +130,11 @@ class Pipeline:
 
         if not self._stage_done("detrended", fp):
             t0 = time.time()
-            det = detrend_sequences(seq_df, method=cfg.method,
-                                    window_length=cfg.window_length,
-                                    keep_tokens=True, **cfg.params)
+            # auto skew routing (north_rule): long-tail docs are chunked +
+            # salted across tasks instead of pinning one straggler task
+            det = detrend_sequences_auto(seq_df, method=cfg.method,
+                                         window_length=cfg.window_length,
+                                         keep_tokens=True, **cfg.params)
             out["detrended"] = self._commit_stage("detrended", det, fp,
                                                   seq_sid, run_id, t0)
         if stop_after == "detrended":
