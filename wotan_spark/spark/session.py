@@ -39,6 +39,11 @@ def get_spark(app_name: str = "wotan-spark", cores: int | None = None,
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
+    # see shipping.EXCLUDED_OPTIMIZER_RULES: InferFiltersFromGenerate
+    # re-evaluates computed explode arrays 2 extra times per row
+    from wotan_spark.spark.shipping import EXCLUDED_OPTIMIZER_RULES
+    builder = builder.config("spark.sql.optimizer.excludedRules",
+                             EXCLUDED_OPTIMIZER_RULES)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

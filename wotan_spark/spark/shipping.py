@@ -37,7 +37,28 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
     return dest
 
 
+# InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+# from every explode and pushes it to the scan — for the engine's computed
+# shingle/gram arrays that re-evaluates the whole array-construction
+# expression two extra times per row (measured 5x on the shingle subtree).
+# The rule only ever ADDS redundant filters (explode already drops empty
+# arrays), so excluding it is always semantics-preserving.
+EXCLUDED_OPTIMIZER_RULES = \
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Runtime-settable engine tuning for sessions the engine did not
+    build (the graft driver, notebooks) — get_spark sets the same."""
+    try:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       EXCLUDED_OPTIMIZER_RULES)
+    except Exception:
+        pass  # conf locked down: plans stay correct, just slower
+
+
 def ensure_shipped(spark: SparkSession) -> None:
+    tune_session(spark)
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:
