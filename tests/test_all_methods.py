@@ -78,3 +78,33 @@ def test_robust_cosine_and_masked_lowess():
                         mask=mask)
     for r in (r1, r2):
         assert np.isfinite(r.trend_lc).sum() > 500
+
+
+def test_flatten_dropin_signature_and_returns():
+    """The top-level ``flatten`` accepts the reference's exact parameter
+    list and reproduces its return-shape contract, so reference call sites
+    run unchanged (tested against the reference function's own signature)."""
+    import ast
+    import inspect
+
+    from wotan_spark.compat import flatten
+
+    # the reference module imports scipy (absent here), so read its
+    # signature from source instead of importing it
+    tree = ast.parse(open("/root/reference/wotan/flatten.py").read())
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "flatten")
+    ref_params = [a.arg for a in fn.args.args]
+    assert list(inspect.signature(flatten).parameters) == ref_params
+
+    time, flux = synthetic_series(points=300)
+    f = flatten(time, flux, window_length=0.5, method="median")
+    assert f.shape == time.shape
+    f2, tr = flatten(time, flux, window_length=0.5, method="median",
+                     return_trend=True)
+    np.testing.assert_array_equal(f, f2)
+    assert tr.shape == time.shape
+    f3, tr3, nspl = flatten(time, flux, window_length=0.5, method="pspline",
+                            max_splines=30, return_trend=True,
+                            return_nsplines=True)
+    assert len(nspl) >= 1
