@@ -61,26 +61,38 @@ def lowess(x: np.ndarray, y: np.ndarray, mask: np.ndarray,
     trend = np.full(n, np.nan)
     use_y_weights = False
 
+    # the window gathers and the tricube distance weights depend only on x
+    # (identical every robustness iteration) — hoist them out of the loop;
+    # the cached values are bit-identical to recomputing, so the iteration
+    # trace is unchanged (ref-exact tier)
+    staged = []
+    for L, idx in groups:
+        if L <= 0:
+            continue
+        rows = lefts[idx][:, None] + np.arange(L)[None, :]
+        XW = x[rows]
+        YW = y[rows]
+        xi = x[idx]
+        # tricube distance weights; radius uses the window's
+        # second-to-last point, as in the reference
+        radius = np.maximum(xi - XW[:, 0], XW[:, -2] - xi) if L >= 2 \
+            else np.maximum(xi - XW[:, 0], np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Wd = (1.0 - (np.abs(XW - xi[:, None]) / radius[:, None]) ** 3) ** 3
+        staged.append((idx, rows, XW, YW, xi, Wd))
+    nan_idx = [idx for L, idx in groups if L <= 0]
+
     for _ in range(maxiter):
         trend = np.zeros(n)
-        for L, idx in groups:
-            if L <= 0:
-                trend[idx] = np.nan
-                continue
-            rows = lefts[idx][:, None] + np.arange(L)[None, :]
-            XW = x[rows]
-            YW = y[rows]
-            xi = x[idx]
-            # tricube distance weights; radius uses the window's
-            # second-to-last point, as in the reference
-            radius = np.maximum(xi - XW[:, 0], XW[:, -2] - xi) if L >= 2 \
-                else np.maximum(xi - XW[:, 0], np.nan)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                W = (1.0 - (np.abs(XW - xi[:, None]) / radius[:, None]) ** 3) ** 3
+        for idx in nan_idx:
+            trend[idx] = np.nan
+        for idx, rows, XW, YW, xi, Wd in staged:
             if use_y_weights:
                 rw = y_weights[rows]
                 has = np.any(rw != 0.0, axis=1)
-                W = np.where(has[:, None], W * rw, W)
+                W = np.where(has[:, None], Wd * rw, Wd)
+            else:
+                W = Wd
             with np.errstate(invalid="ignore", divide="ignore"):
                 W = W / np.nansum(W, axis=1)[:, None]
             trend[idx] = _fit_rows(XW, YW, W, xi)
