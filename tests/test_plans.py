@@ -126,3 +126,24 @@ def test_cosine_topk_avoids_cross_join(spark):
     plan = _plan(cosine_topk(emb, [0, 1], k=2))
     assert "Join" not in plan, f"top-k must not join:\n{plan}"
     assert plan.count("embeddings.parquet") == 1
+
+
+def test_chunk_spread_has_explicit_partition_count(spark):
+    """Regression guard: the chunk-salting repartition MUST carry an
+    explicit partition count.  A bare column repartition is AQE-coalescible,
+    and chunk rows are few bytes but heavy CPU, so byte-targeted coalescing
+    folds them back into one task — recreating the straggler the chunked
+    path exists to remove (caught live in round 2)."""
+    import pyspark.sql.functions as F
+
+    from wotan_spark.spark.detrend_op import detrend_sequences_chunked
+    from wotan_spark.spark.synth import synth_sequences
+
+    seq = synth_sequences(spark, 4, median_len=300, max_len=2000)
+    import re
+
+    plan = (detrend_sequences_chunked(seq, method="mean", window_length=17,
+                                      chunk_size=64)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # explicit numPartitions renders as "RepartitionByExpression [...], N"
+    assert re.search(r"RepartitionByExpression \[[^\]]*\], \d+", plan), plan
