@@ -295,6 +295,25 @@ def q_topk_buckets(spark, sf_dir):
             .select("user_id", "bucket", "y_mean", "n", "rank"))
 
 
+def q_detrend_auto_routed_packed(spark, sf_dir):
+    """The auto skew router (north_rule: salted repartitioning for skewed
+    long sequences) driven through BOTH branches: a 256-token threshold
+    sends every sf0.01 doc through chunk/salt/reassemble while short docs
+    would take the packed path — and the result must equal the plain mean
+    oracle exactly (the router is exact for local methods)."""
+    from wotan_spark.spark.detrend_op import detrend_sequences_auto
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    det = detrend_sequences_auto(seq, method="mean", window_length=17,
+                                 chunk_threshold=256, chunk_size=128)
+    good = F.filter("flat", lambda x: ~F.isnan(x))
+    return det.select(
+        "doc_id",
+        F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("flat_sum"),
+        F.size(good).alias("n_pts"))
+
+
 def q_detrend_chunked_packed(spark, sf_dir):
     """Skew path: overlap-chunked detrend (salted repartition + trim +
     reassemble).  Must produce identical sums to the unchunked operator —
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_invariant_chunked": _wrap(q_token_invariant_chunked),
         "detrend_points_longform": _wrap(q_detrend_points_longform),
         "detrend_chunked_packed": _wrap(q_detrend_chunked_packed),
+        "detrend_auto_routed_packed": _wrap(q_detrend_auto_routed_packed),
         "detrend_rspline_packed": _wrap(q_detrend_rspline_packed),
         "dedup_exact": _wrap(q_dedup_exact),
         "doc_fingerprint": _wrap(q_doc_fingerprint),
@@ -994,8 +1014,9 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["detrend_points_longform"] = sqls["detrend_mean_packed"]
     # the chunked skew path is exact for sliders (overlap + trim), so the
-    # unchunked mean oracle applies verbatim
+    # unchunked mean oracle applies verbatim — likewise for the auto router
     sqls["detrend_chunked_packed"] = sqls["detrend_mean_packed"]
+    sqls["detrend_auto_routed_packed"] = sqls["detrend_mean_packed"]
 
     # Newton-Raphson M-location sliders as RECURSIVE CTEs — init at the
     # interpolated median, fixed MAD scale (MAD==0 freezes at the median),
