@@ -284,3 +284,36 @@ def test_auto_chunk_global_fit_falls_back_unchunked(spark):
                                     window_length=6.0)
     assert "Union" not in routed._jdf.queryExecution().optimizedPlan().toString()
     assert routed.count() == N_DOCS
+
+
+def test_fused_rollup_auto_exact_including_median(spark):
+    """Skew-safe fused rollup: chunk cores are bucket-aligned, so every
+    tier bucket lies wholly inside one chunk and per-bucket stats —
+    including the NON-additive median — equal the unchunked fused pass
+    column-for-column."""
+    import math
+
+    import pandas as pd
+
+    from wotan_spark.spark.rollup import (detrend_rollup_fused,
+                                          detrend_rollup_fused_auto,
+                                          rollup_tier10)
+
+    seq = _seq(spark)
+    plain = detrend_rollup_fused(seq, "biweight", factor=10,
+                                 window_length=17).toPandas()
+    routed = detrend_rollup_fused_auto(seq, "biweight", factor=10,
+                                       chunk_threshold=700, chunk_size=250,
+                                       window_length=17).toPandas()
+    n_long = seq.filter(F.col("n_tok") > 700).count()
+    assert 0 < n_long < N_DOCS       # both branches populated
+    key = ["doc_id", "bucket"]
+    plain = plain.sort_values(key).reset_index(drop=True)
+    routed = routed.sort_values(key).reset_index(drop=True)
+    assert len(plain) == len(routed)
+    for c in plain.columns:
+        a, b = plain[c].to_numpy(), routed[c].to_numpy()
+        if a.dtype.kind == "f":
+            npt.assert_allclose(a, b, rtol=1e-12, equal_nan=True), c
+        else:
+            assert (a == b).all(), c

@@ -176,14 +176,15 @@ class Pipeline:
         detrend+tier10 on ONLY the new rows, MERGE-upserted into the tier
         tables keyed on (doc_id, bucket) — the batch equivalent of the
         streaming ingestion path; raw history is never recomputed."""
-        from wotan_spark.spark.rollup import cascade_tier, detrend_rollup_fused
+        from wotan_spark.spark.rollup import (cascade_tier,
+                                              detrend_rollup_fused_auto)
         run_id = run_id or f"inc-{int(time.time())}"
         cfg = self.config
         t0 = time.time()
         self.tables["sequences"].append(new_sequences, run_id=run_id,
                                         incremental=True)
         seq_sid = self.tables["sequences"].current_snapshot_id()
-        t10_new = detrend_rollup_fused(
+        t10_new = detrend_rollup_fused_auto(
             self.tables["sequences"].read(self.spark)
                 .join(new_sequences.select("doc_id"), "doc_id", "left_semi"),
             cfg.method, factor=cfg.tier_factor,

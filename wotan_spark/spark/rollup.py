@@ -160,6 +160,95 @@ def detrend_rollup_fused(df: DataFrame, method: str = "biweight",
     return df.mapInPandas(run, schema=TIER_SCHEMA)
 
 
+def detrend_rollup_fused_auto(df: DataFrame, method: str = "biweight",
+                              factor: int = 10,
+                              chunk_threshold: int | None = None,
+                              chunk_size: int | None = None,
+                              num_partitions: int | None = None,
+                              **params) -> DataFrame:
+    """Skew-safe fused detrend + tier rollup.
+
+    Short rows take the zero-shuffle fused pass (``detrend_rollup_fused``).
+    Rows past ``chunk_threshold`` tokens are overlap-chunked and salted
+    across tasks — and because the chunk size is rounded to a bucket
+    multiple, every tier bucket lies wholly inside exactly ONE chunk's core
+    slice, so each chunk emits its core's tier rows directly: all stats
+    (including the non-additive per-bucket median) are exact, the bucket
+    rows of different chunks are disjoint, and no full-resolution
+    flat/trend array is ever shuffled or reassembled.  Exactness vs the
+    unchunked fused pass is pytest-asserted column-for-column.
+    """
+    import math as _math
+
+    from wotan_spark.spark.detrend_op import (_CHUNKABLE_METHODS,
+                                              AUTO_CHUNK_THRESHOLD,
+                                              _detrend_one, split_chunks)
+
+    if chunk_threshold is None:
+        chunk_threshold = AUTO_CHUNK_THRESHOLD
+    if method not in _CHUNKABLE_METHODS or "mask_col" in params \
+            or "mask_transit" in params:
+        return detrend_rollup_fused(df, method, factor=factor, **params)
+    if chunk_size is None:
+        chunk_size = chunk_threshold
+    chunk_size = max(factor, (chunk_size // factor) * factor)  # bucket-align
+
+    run_params = dict(params, method=method)
+    wl = run_params.get("window_length") or 2
+    bt = run_params.get("break_tolerance")
+    if bt is None:
+        bt = wl / 2
+    overlap = int(_math.ceil(wl + bt)) + 1
+
+    short = df.filter(F.col("n_tok") <= chunk_threshold)
+    long_ = df.filter(F.col("n_tok") > chunk_threshold)
+    chunks = split_chunks(long_, chunk_size, overlap)
+    if num_partitions is None:
+        num_partitions = max(
+            df.sparkSession.sparkContext.defaultParallelism, 8)
+    # explicit count: a bare column repartition is AQE-coalescible (bytes
+    # small, CPU heavy) — see detrend_sequences_chunked
+    chunks = chunks.repartition(num_partitions,
+                                F.col("doc_id"), F.col("chunk_id"))
+
+    def roll_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("bucket", "n", "y_sum", "y_mean", "y_median", "y_min",
+                "y_max", "trend_n", "trend_sum", "trend_mean", "flat_n",
+                "flat_sum", "flat_mean")
+        for pdf in batches:
+            parts: dict[str, list[np.ndarray]] = {k: [] for k in keys}
+            doc_ids: list[np.ndarray] = []
+            for doc_id, toks, t0, lead, core in zip(
+                    pdf["doc_id"], pdf["tokens"], pdf["t0"], pdf["lead"],
+                    pdf["core"]):
+                toks = np.asarray(toks, dtype=np.int32)
+                flat, trend = _detrend_one(toks, run_params)
+                sl = slice(int(lead), int(lead) + int(core))
+                y = decode_tokens(toks[sl])
+                b0 = int(t0) // factor   # t0 is bucket-aligned
+                ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(
+                    y, factor)
+                _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
+                    trend[sl], factor, with_median=False)
+                _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
+                    flat[sl], factor, with_median=False)
+                doc_ids.append(np.repeat(doc_id, len(ids)))
+                for key, arr in zip(keys, (ids + b0, cnt, ysum, ymean, ymed,
+                                           ymin, ymax, tcnt, tsum, tmean,
+                                           fcnt, fsum, fmean)):
+                    parts[key].append(arr)
+            if not doc_ids:
+                yield pd.DataFrame({k: [] for k in ("doc_id",) + keys})
+                continue
+            out = {"doc_id": np.concatenate(doc_ids)}
+            out.update({k: np.concatenate(v) for k, v in parts.items()})
+            yield pd.DataFrame(out)
+
+    long_tiers = chunks.mapInPandas(roll_chunk, schema=TIER_SCHEMA)
+    return detrend_rollup_fused(short, method, factor=factor,
+                                **params).unionByName(long_tiers)
+
+
 def cascade_tier(tier: DataFrame, step: int = 10) -> DataFrame:
     """Continuous aggregate: next retention tier from the previous tier
     (exact for the additive components; median is tier-10-only so the

@@ -23,7 +23,7 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType, TimestampType)
 
 from wotan_spark.spark.lakehouse import SnapshotTable
-from wotan_spark.spark.rollup import detrend_rollup_fused
+from wotan_spark.spark.rollup import detrend_rollup_fused_auto
 from wotan_spark.spark.synth import SEQUENCES_SCHEMA
 
 
@@ -46,8 +46,11 @@ def run_ingestion(spark: SparkSession, landing_dir: str, table_root: str,
     stream = stream_sequences(spark, landing_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        t10 = detrend_rollup_fused(batch_df, method,
-                                   window_length=window_length, factor=factor)
+        # skew-safe fused pass: a long landing doc is chunked+salted, each
+        # chunk emits its bucket-aligned core's tier rows directly
+        t10 = detrend_rollup_fused_auto(batch_df, method,
+                                        window_length=window_length,
+                                        factor=factor)
         tier_table.merge_buckets(spark, t10, keys=["doc_id", "bucket"],
                                  stream_batch=batch_id)
 
