@@ -426,6 +426,16 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup clustering: connected components of the exact n-gram near-dup
+    pair graph (min-label propagation; the step that turns pair lists into
+    dedup groups).  Oracle: DuckDB recursive-CTE reachability closure over
+    the same pair SQL."""
+    from wotan_spark.spark.datapipe import dedup_components, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return dedup_components(pairs)
+
+
 def q_minhash_signatures(spark, sf_dir):
     from wotan_spark.spark.datapipe import minhash_signatures
     return minhash_signatures(_docs(spark, sf_dir), n=3)
@@ -733,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _wrap(q_token_counts),
         "lang_id": _wrap(q_lang_id),
         "ngram_jaccard": _wrap(q_ngram_jaccard),
+        "dedup_components": _wrap(q_dedup_components),
         "minhash_signatures": _wrap(q_minhash_signatures),
         "minhash_lsh_pairs": _wrap(q_minhash_lsh_pairs),
         "simhash": _wrap(q_simhash),
@@ -1651,6 +1662,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # prefix filtering is exact-preserving: same oracle by construction
     sqls["ngram_jaccard_prefix"] = sqls["ngram_jaccard"]
+
+    # components twin: recursive reachability closure over the SAME pair
+    # SQL — min reachable doc id per node == the engine's converged
+    # min-label propagation
+    sqls["dedup_components"] = f"""
+        WITH RECURSIVE prs AS ({sqls["ngram_jaccard"]}),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                  UNION SELECT doc_b AS u, doc_a AS v FROM prs),
+        walk AS (
+            SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u AS node, w.lbl
+            FROM walk w JOIN edges e ON e.v = w.node)
+        SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY 1
+    """
 
     # embeddings are float32 on disk; cast to DOUBLE[] so DuckDB's cosine
     # runs in float64 like the engine's NumPy path

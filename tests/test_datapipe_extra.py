@@ -152,3 +152,38 @@ def test_near_dup_auto_dispatches_to_lsh_above_cap(spark):
                emb, threshold=0.3, exact_max=n - 1).collect()}
     assert lsh <= exact            # LSH candidates are exact-verified
     assert len(lsh) >= 0.5 * len(exact)   # recall sanity at this threshold
+
+
+def test_dedup_components_matches_union_find(spark):
+    """Min-label propagation components == a local union-find on random
+    pair graphs (chains, stars, isolated pairs; convergence needs multiple
+    propagation rounds for the chains)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    edges = [(int(i), int(i + 1)) for i in range(0, 30)]          # long chain
+    edges += [(100, int(101 + k)) for k in range(8)]              # star
+    edges += [(int(a), int(b)) for a, b in
+              rng.integers(200, 260, size=(25, 2)) if a != b]     # random
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges],
+        schema="doc_a long, doc_b long")
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    from wotan_spark.spark.datapipe import dedup_components
+    got = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
+    assert got == want

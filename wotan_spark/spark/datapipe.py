@@ -215,6 +215,61 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_components(pairs: DataFrame, id_a: str = "doc_a",
+                     id_b: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, component) where component = the minimum doc id reachable —
+    the clustering step that turns pair lists (n-gram / MinHash / embedding
+    near-dups) into dedup groups with one canonical survivor each.
+
+    Min-label propagation with pointer doubling: every node starts as its
+    own label; each round (a) takes the minimum label across the symmetric
+    edge list and (b) jumps to the label's own label — so convergence
+    takes O(log diameter) rounds, not O(diameter).  Each round is two
+    shuffle joins + a partial-agg groupBy on the EDGE list only (nodes
+    outside any pair never enter the computation).  Every round's result
+    is ``localCheckpoint``-ed: iterative self-referencing lineage grows
+    EXPONENTIALLY otherwise (even persisted plans nest until the optimizer
+    itself OOMs building the plan string — observed at ~30 rounds); on a
+    production cluster set a reliable ``spark.sparkContext.setCheckpointDir``
+    and this uses fault-tolerant ``checkpoint`` instead.
+    """
+    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .unionByName(
+               pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+           .distinct())
+    from pyspark import StorageLevel
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    edges = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = _cut(edges.select("u").distinct()
+                  .select(F.col("u").alias("node"), F.col("u").alias("lbl")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"), "lbl"))
+        mins = (labels.unionByName(prop)
+                .groupBy("node").agg(F.min("lbl").alias("lbl")))
+        # pointer doubling: follow the label's own (new) label
+        jump = mins.select(F.col("node").alias("lbl"),
+                           F.col("lbl").alias("lbl2"))
+        new_labels = _cut(mins.join(jump, "lbl")
+                          .select("node", F.least("lbl", "lbl2").alias("lbl")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.lbl") < F.col("o.lbl"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("component"))
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, h0..h7) MinHash signature over word n-gram shingles."""
     sh = word_shingles(docs, n).withColumn(
