@@ -436,6 +436,19 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+def q_near_dup_survivors(spark, sf_dir):
+    """End-to-end near-dup dedup: pair generation -> connected components
+    -> keep one canonical doc (the component minimum) per cluster plus all
+    unclustered docs — the document set a training pipeline would retain."""
+    from wotan_spark.spark.datapipe import dedup_components, ngram_jaccard_pairs
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = dedup_components(pairs)
+    dropped = (comp.filter(F.col("doc_id") != F.col("component"))
+               .select("doc_id"))
+    return docs.select("doc_id").subtract(dropped)
+
+
 def q_minhash_signatures(spark, sf_dir):
     from wotan_spark.spark.datapipe import minhash_signatures
     return minhash_signatures(_docs(spark, sf_dir), n=3)
@@ -744,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _wrap(q_lang_id),
         "ngram_jaccard": _wrap(q_ngram_jaccard),
         "dedup_components": _wrap(q_dedup_components),
+        "near_dup_survivors": _wrap(q_near_dup_survivors),
         "minhash_signatures": _wrap(q_minhash_signatures),
         "minhash_lsh_pairs": _wrap(q_minhash_lsh_pairs),
         "simhash": _wrap(q_simhash),
@@ -1676,6 +1690,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.u AS node, w.lbl
             FROM walk w JOIN edges e ON e.v = w.node)
         SELECT node AS doc_id, min(lbl) AS component FROM walk GROUP BY 1
+    """
+
+    sqls["near_dup_survivors"] = f"""
+        WITH comp AS ({sqls["dedup_components"]})
+        SELECT doc_id FROM documents
+        EXCEPT
+        SELECT doc_id FROM comp WHERE doc_id <> component
     """
 
     # embeddings are float32 on disk; cast to DOUBLE[] so DuckDB's cosine
