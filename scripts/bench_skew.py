@@ -52,6 +52,8 @@ def main() -> None:
         seq = base.unionByName(skew).repartition(cores, "doc_id").persist()
         seq.count()
 
+        from wotan_spark.spark.rollup import (detrend_rollup_fused,
+                                              detrend_rollup_fused_auto)
         timings = {}
         for name, run in (
             ("packed_straggler",
@@ -60,6 +62,12 @@ def main() -> None:
             ("auto_chunked",
              lambda: detrend_sequences_auto(seq, method="biweight",
                                             window_length=17)),
+            ("fused_rollup_straggler",
+             lambda: detrend_rollup_fused(seq, "biweight",
+                                          window_length=17)),
+            ("fused_rollup_auto",
+             lambda: detrend_rollup_fused_auto(seq, "biweight",
+                                               window_length=17)),
         ):
             best = None
             for _ in range(2):
@@ -71,6 +79,8 @@ def main() -> None:
         seq.unpersist()
         timings["speedup"] = round(timings["packed_straggler"]
                                    / timings["auto_chunked"], 2)
+        timings["fused_speedup"] = round(timings["fused_rollup_straggler"]
+                                         / timings["fused_rollup_auto"], 2)
         results[f"skew_{skew_len}"] = timings
 
     print(json.dumps({

@@ -147,3 +147,16 @@ def test_chunk_spread_has_explicit_partition_count(spark):
             ._jdf.queryExecution().optimizedPlan().toString())
     # explicit numPartitions renders as "RepartitionByExpression [...], N"
     assert re.search(r"RepartitionByExpression \[[^\]]*\], \d+", plan), plan
+
+
+def test_no_row_at_a_time_python_udfs():
+    """input_hint contract: vectorized pandas/Arrow UDFs only — no
+    F.udf/pandas-free per-row Python anywhere in the engine package."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "wotan_spark"
+    for f in root.rglob("*.py"):
+        text = f.read_text()
+        assert not re.search(r"\bF\.udf\s*\(|\budf\s*\(\s*lambda", text), \
+            f"row-at-a-time UDF in {f}"
