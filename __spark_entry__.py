@@ -630,6 +630,27 @@ def _packed_flat_sum(spark, sf_dir, method):
         F.size(good).alias("n_pts"))
 
 
+def q_detrend_hampel_packed(spark, sf_dir):
+    """Intercept-only IRLS slider with the Hampel three-part descending
+    weights (reference Group B runs statsmodels RLM per window) —
+    RECURSIVE-CTE oracle re-iterating MAD rescale + reweight per round."""
+    return _packed_flat_sum(spark, sf_dir, "hampel")
+
+
+def q_detrend_ramsay_packed(spark, sf_dir):
+    """Intercept-only IRLS slider with Ramsay-E weights exp(-a*|z|) —
+    RECURSIVE-CTE oracle (same iteration skeleton as hampel)."""
+    return _packed_flat_sum(spark, sf_dir, "ramsay")
+
+
+def q_detrend_huber_packed(spark, sf_dir):
+    """Joint Huber location/scale slider (reference Group B statsmodels
+    Huber re-derived; Q13 median fallback on non-convergence) —
+    RECURSIVE-CTE oracle iterating the clipped-mean location and
+    winsorized-variance scale updates jointly."""
+    return _packed_flat_sum(spark, sf_dir, "huber")
+
+
 def q_detrend_hampelfilt_packed(spark, sf_dir):
     """Hampel-filter slider (values >= 3*MAD from the median replaced by
     the median, then mean) — oracle rebuilds median/MAD from sorted window
@@ -769,6 +790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
+        "detrend_hampel_packed": _wrap(q_detrend_hampel_packed),
+        "detrend_ramsay_packed": _wrap(q_detrend_ramsay_packed),
+        "detrend_huber_packed": _wrap(q_detrend_huber_packed),
         "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
         "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
         "detrend_medfilt_packed": _wrap(q_detrend_medfilt_packed),
@@ -1324,6 +1348,201 @@ def oracle_sql() -> dict[str, str]:
                round(sum(y / trend), 6) AS flat_sum,
                count(y / trend) AS n_pts
         FROM tr GROUP BY 1
+    """
+
+    # IRLS intercept sliders (Group B, statsmodels-RLM semantics re-derived
+    # from scratch) as RECURSIVE CTEs: init at the window mean; each round
+    # re-sorts |resid| for the MAD scale (unlike the NR sliders' frozen
+    # MAD), reweights, and updates mu = sum(w*x)/sum(w); scale==0 or
+    # sum(w)==0 freezes at the current mu; converged when
+    # |nmu - mu| <= 1e-8 * max(1, |nmu|); maxiter 50.  Windows share the
+    # fast sliders' skeleton (half-open range, Q1 last-point cap); <=1
+    # point -> NULL trend.  Kernel twin: robust.py::irls_intercept_1d.
+    _Z75 = "0.6744897501960817"
+
+    def _irls_slider(w_of_az: str) -> str:
+        w = w_of_az.replace("AZ", "abs((x - c) / scale)")
+        return f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        base AS (SELECT user_id, t, y, v, len(v) AS n FROM adj),
+        it AS (
+            SELECT user_id, t, y, v, n,
+                   CASE WHEN n > 1 THEN list_sum(v) / n END AS c,
+                   0 AS k, (n <= 1) AS done
+            FROM base
+          UNION ALL
+            SELECT user_id, t, y, v, n,
+                   CASE WHEN scale = 0 OR sw = 0 THEN c ELSE nmu END AS c2,
+                   k + 1,
+                   (scale = 0 OR sw = 0
+                    OR abs(nmu - c)
+                       <= 0.00000001 * greatest(1.0, abs(nmu))) AS done
+            FROM (
+                SELECT user_id, t, y, v, n, c, k, scale,
+                       list_sum(list_transform(v, x -> ({w}))) AS sw,
+                       list_sum(list_transform(v, x -> ({w}) * x))
+                           / list_sum(list_transform(v, x -> ({w}))) AS nmu
+                FROM (
+                    SELECT user_id, t, y, v, n, c, k,
+                           (CASE WHEN n % 2 = 1 THEN dv[(n + 1) // 2]
+                                 ELSE (dv[n // 2] + dv[n // 2 + 1]) / 2.0
+                            END) / {_Z75} AS scale
+                    FROM (
+                        SELECT *,
+                               list_sort(list_transform(v, x -> abs(x - c)))
+                                   AS dv
+                        FROM it WHERE NOT done AND k < 50)))
+        ),
+        fin AS (
+            SELECT user_id, t, y, c,
+                   row_number() OVER (PARTITION BY user_id, t
+                                      ORDER BY k DESC) AS rn
+            FROM it)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / c), 6) AS flat_sum,
+               count(y / c) AS n_pts
+        FROM fin WHERE rn = 1 GROUP BY 1
+    """
+
+    # hampel weights (a,b,c)=(1.7,3.4,8.5): az==0 -> 1e-100 first (kernel
+    # quirk), then 1 / a/az / a*(c-az)/(az*(c-b)) / 0 by band
+    _AZH = "(CASE WHEN AZ = 0 THEN 1e-100 ELSE AZ END)"
+    sqls["detrend_hampel_packed"] = _irls_slider(
+        f"CASE WHEN {_AZH} <= 1.7 THEN 1.0 "
+        f"WHEN {_AZH} <= 3.4 THEN 1.7 / {_AZH} "
+        f"WHEN {_AZH} <= 8.5 THEN 1.7 * (8.5 - {_AZH}) "
+        f"/ ({_AZH} * (8.5 - 3.4)) "
+        f"ELSE 0.0 END")
+    sqls["detrend_ramsay_packed"] = _irls_slider("exp(-0.3 * AZ)")
+
+    # huber: JOINT location/scale iteration (reference Group B delegates to
+    # statsmodels Huber; kernel twin robust.py::huber_location_1d/_2d).
+    # State (c, s) from (median, MAD/Z75); each round clips to c +- 1.5s
+    # for the location update and rescales by the winsorized variance over
+    # gamma; non-convergence (incl. NaN scale, which in the kernel iterates
+    # inertly to the 1000-round cap) falls back to the window median (Q13).
+    from wotan_spark import constants as _c
+    _hc = 1.5
+    _tmp = 2.0 * _c.gaussian_cdf(_hc) - 1.0
+    _gamma = _tmp + _hc ** 2 * (1.0 - _tmp) - 2.0 * _hc * _c.gaussian_pdf(_hc)
+    sqls["detrend_huber_packed"] = f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   1.0 + round(value * 1000) / 1000000.0 AS y
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        st AS (SELECT user_id, max(t) AS t_max FROM lim GROUP BY 1),
+        lastv AS (
+            SELECT l.user_id, l.y AS y_last
+            FROM lim l JOIN st ON st.user_id = l.user_id AND l.t = st.t_max),
+        win AS (
+            SELECT user_id, t, y,
+                   list(y) OVER (PARTITION BY user_id ORDER BY t
+                                 RANGE BETWEEN 8 PRECEDING AND 8 FOLLOWING)
+                       AS vals
+            FROM lim),
+        adj AS (
+            SELECT w.user_id, w.t, w.y,
+                   CASE WHEN st.t_max - w.t <= 8
+                        THEN list_concat(
+                            vals[1:list_position(vals, lv.y_last) - 1],
+                            vals[list_position(vals, lv.y_last) + 1:])
+                        ELSE vals END AS v
+            FROM win w
+            JOIN st ON st.user_id = w.user_id
+            JOIN lastv lv ON lv.user_id = w.user_id),
+        base AS (
+            SELECT user_id, t, y, v, list_sort(v) AS sv, len(v) AS n
+            FROM adj),
+        m1 AS (
+            SELECT *, CASE WHEN n = 0 THEN NULL
+                           WHEN n % 2 = 1 THEN sv[(n + 1) // 2]
+                           ELSE (sv[n // 2] + sv[n // 2 + 1]) / 2.0
+                      END AS m0
+            FROM base),
+        m2 AS (
+            SELECT *, list_sort(list_transform(v, x -> abs(x - m0))) AS dv
+            FROM m1),
+        m3 AS (
+            SELECT user_id, t, y, v, n, m0,
+                   (CASE WHEN n = 0 THEN NULL
+                         WHEN n % 2 = 1 THEN dv[(n + 1) // 2]
+                         ELSE (dv[n // 2] + dv[n // 2 + 1]) / 2.0
+                    END) / {_Z75} AS s0
+            FROM m2),
+        it AS (
+            SELECT user_id, t, y, v, n, m0, m0 AS c, s0 AS s, 0 AS k,
+                   (n <= 1) AS done, FALSE AS conv
+            FROM m3
+          UNION ALL
+            SELECT user_id, t, y, v, n, m0,
+                   coalesce(nmu, c) AS c2, coalesce(nscale, s) AS s2, k + 1,
+                   (nscale IS NULL
+                    OR (abs(s - nscale) <= nscale * 0.000001
+                        AND abs(c - nmu) <= nscale * 0.000001)) AS done,
+                   (nscale IS NOT NULL
+                    AND abs(s - nscale) <= nscale * 0.000001
+                    AND abs(c - nmu) <= nscale * 0.000001) AS conv
+            FROM (
+                SELECT *,
+                       CASE WHEN num / den >= 0 THEN sqrt(num / den) END
+                           AS nscale
+                FROM (
+                    SELECT *,
+                           list_sum(list_transform(v, x ->
+                               CASE WHEN abs((x - c) / s) <= {_hc}
+                                    THEN (x - nmu) * (x - nmu)
+                                    ELSE 0.0 END)) AS num,
+                           (n - 1) * {_gamma!r}
+                           - (n - list_sum(list_transform(v, x ->
+                                  CASE WHEN abs((x - c) / s) <= {_hc}
+                                       THEN 1 ELSE 0 END))) * {_hc * _hc}
+                               AS den
+                    FROM (
+                        SELECT user_id, t, y, v, n, m0, c, s, k,
+                               list_sum(list_transform(v, x ->
+                                   least(greatest(x, c - {_hc} * s),
+                                         c + {_hc} * s))) / n AS nmu
+                        FROM it WHERE NOT done AND k < 1000)))
+        ),
+        fin AS (
+            SELECT user_id, t, y,
+                   CASE WHEN done AND conv THEN c ELSE m0 END AS c,
+                   row_number() OVER (PARTITION BY user_id, t
+                                      ORDER BY k DESC) AS rn
+            FROM it)
+        SELECT 'user_' || user_id AS doc_id,
+               round(sum(y / c), 6) AS flat_sum,
+               count(y / c) AS n_pts
+        FROM fin WHERE rn = 1 GROUP BY 1
     """
 
     sqls["detrend_hampelfilt_packed"] = _mad_slider.replace("{EST}", """
