@@ -185,6 +185,13 @@ def q_sigma_clip_count(spark, sf_dir):
                  F.count("*").alias("n_total")))
 
 
+
+def _good_flat():
+    """Non-NaN flat points.  NULL-safe: mapInPandas converts NaN array
+    elements to NULL (Arrow from_pandas semantics) and Spark's
+    isnan(NULL) is FALSE, so a bare ~isnan would KEEP null elements."""
+    return F.filter("flat", lambda x: x.isNotNull() & ~F.isnan(x))
+
 def q_detrend_mean_packed(spark, sf_dir):
     """Packed mapInPandas detrend (method=mean) whose exact window quirks
     (half-open window, last-point cap Q1) the oracle reproduces in SQL."""
@@ -192,7 +199,7 @@ def q_detrend_mean_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="mean", window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -207,7 +214,7 @@ def q_detrend_biweight_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="biweight", window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -223,7 +230,7 @@ def q_detrend_median_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="median", window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -306,7 +313,7 @@ def q_detrend_auto_routed_packed(spark, sf_dir):
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences_auto(seq, method="mean", window_length=17,
                                  chunk_threshold=256, chunk_size=128)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -323,7 +330,7 @@ def q_detrend_chunked_packed(spark, sf_dir):
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences_chunked(seq, method="mean", window_length=17,
                                     chunk_size=32)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -338,7 +345,7 @@ def q_detrend_rspline_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="rspline", window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -524,7 +531,7 @@ def q_detrend_trim_mean_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="trim_mean", window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -569,7 +576,7 @@ def q_detrend_masked_mean_packed(spark, sf_dir):
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="mean", window_length=17,
                             mask_transit=(50.0, 6.0, 10.0))
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -617,12 +624,70 @@ def q_dedup_survivors(spark, sf_dir):
     return all_ids.subtract(non_keepers)
 
 
+# Pinned-golden detrend queries: one per golden-tier method (the global
+# fits that no SQL twin can express).  scripts/gen_method_pins.py re-runs
+# the pytest-proven kernels locally (no Spark) on the same sf0.01
+# sequences and pins per-doc (flat_sum, n_pts); the driver hash match then
+# proves the distributed path reproduces the proven kernel exactly —
+# same pattern as the rspline pinned oracle.  GP is O(n^3), so its query
+# runs on 1024-token sequences of the first 12 docs (the reference's own
+# test suite caps GP at 2k points).
+PINNED_DETREND = {
+    "lowess": {"params": {"window_length": 17.0}},
+    "cofiam": {"params": {"window_length": 16.0}},
+    "cosine": {"params": {"window_length": 16.0}},
+    "cosine_robust": {"method": "cosine",
+                      "params": {"window_length": 16.0, "robust": True}},
+    "savgol": {"params": {"window_length": 31.0}},
+    "supersmoother": {"params": {"window_length": 10.0}},
+    "hspline": {"params": {"window_length": 12.0}},
+    "pspline": {"params": {}},
+    "ridge": {"params": {"window_length": 16.0}},
+    "lasso": {"params": {"window_length": 16.0}},
+    "elasticnet": {"params": {"window_length": 16.0}},
+    "gp_squared_exp": {"method": "gp",
+                       "params": {"kernel": "squared_exp",
+                                  "kernel_size": 256.0},
+                       "max_tokens": 1024, "n_docs": 12,
+                       "count_only": True},
+}
+
+
+def _pinned_detrend_query(key: str):
+    spec = PINNED_DETREND[key]
+    method = spec.get("method", key)
+    params = spec["params"]
+    max_tokens = spec.get("max_tokens", 4096)
+    n_docs = spec.get("n_docs")
+
+    def q(spark, sf_dir):
+        from wotan_spark.spark.detrend_op import detrend_sequences
+        from wotan_spark.spark.synth import sequences_from_events
+        seq = sequences_from_events(spark, sf_dir, max_tokens=max_tokens)
+        if n_docs is not None:
+            seq = seq.filter(F.col("doc_id").isin(
+                [f"user_{i}" for i in range(n_docs)]))
+        det = detrend_sequences(seq, method=method, **params)
+        good = _good_flat()
+        if spec.get("count_only"):
+            return det.select("doc_id", F.size(good).alias("n_pts"))
+        return det.select(
+            "doc_id",
+            F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
+            .alias("flat_sum"),
+            F.size(good).alias("n_pts"))
+
+    q.__doc__ = (f"Pinned-golden oracle query for method={method!r} "
+                 f"(see PINNED_DETREND).")
+    return q
+
+
 def _packed_flat_sum(spark, sf_dir, method):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method=method, window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -692,7 +757,7 @@ def q_detrend_masked_biweight_packed(spark, sf_dir):
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="biweight", window_length=17,
                             mask_transit=(50.0, 6.0, 10.0))
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -708,7 +773,7 @@ def q_detrend_medfilt_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="medfilt", window_length=31)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -732,7 +797,7 @@ def q_detrend_winsorize_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="winsorize", window_length=17)
-    good = F.filter("flat", lambda x: ~F.isnan(x))
+    good = _good_flat()
     return det.select(
         "doc_id",
         F.round(F.aggregate(good, F.lit(0.0), lambda a, x: a + x), 6)
@@ -808,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _wrap(q_dedup_survivors),
         "pricing_summary": _wrap(q_pricing_summary),
         "revenue_by_nation": _wrap(q_revenue_by_nation),
+        **{f"detrend_{key}_pinned": _wrap(_pinned_detrend_query(key))
+           for key in PINNED_DETREND},
     }
 
 
@@ -1969,19 +2036,37 @@ def oracle_sql() -> dict[str, str]:
     # (doc_id, flat_sum, n_pts).  A driver hash match therefore proves the
     # distributed mapInPandas path reproduces the proven kernel exactly.
     # Regenerate the pins with the script if the driver testdata changes.
-    try:
+    def _pins_sql(path: str, count_only: bool = False) -> str:
         import json as _json
-        with open(os.path.join(_REPO, "wotan_spark", "data",
-                               "rspline_pins_sf0.01.json")) as _f:
+        with open(path) as _f:
             _pins = _json.load(_f)
+        if count_only:
+            # GP: the ill-conditioned kernel solve amplifies BLAS-threading
+            # ulps to ~1e-5 in the trend, so only the finite-point count is
+            # pinned (values covered by the pytest goldens)
+            _vals = ", ".join(f"('{p['doc_id']}', {p['n_pts']})"
+                              for p in _pins)
+            return (f"SELECT doc_id, n_pts "
+                    f"FROM (VALUES {_vals}) AS v(doc_id, n_pts)")
         _vals = ", ".join(
             f"('{p['doc_id']}', {p['flat_sum']!r}::DOUBLE, {p['n_pts']})"
             for p in _pins)
-        sqls["detrend_rspline_packed"] = (
-            f"SELECT doc_id, flat_sum, n_pts "
-            f"FROM (VALUES {_vals}) AS v(doc_id, flat_sum, n_pts)")
+        return (f"SELECT doc_id, flat_sum, n_pts "
+                f"FROM (VALUES {_vals}) AS v(doc_id, flat_sum, n_pts)")
+
+    _data = os.path.join(_REPO, "wotan_spark", "data")
+    try:
+        sqls["detrend_rspline_packed"] = _pins_sql(
+            os.path.join(_data, "rspline_pins_sf0.01.json"))
     except OSError:  # pins absent -> rows-only check, as in round 1
         pass
+    for _key, _spec in PINNED_DETREND.items():
+        try:
+            sqls[f"detrend_{_key}_pinned"] = _pins_sql(
+                os.path.join(_data, f"pins_{_key}_sf0.01.json"),
+                count_only=bool(_spec.get("count_only")))
+        except OSError:  # not yet generated -> rows-only
+            pass
 
     sqls["cosine_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
