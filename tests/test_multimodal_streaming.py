@@ -262,3 +262,42 @@ def test_streaming_running_stats_multichunk_batch(spark, tmp_path):
     row = spark.sql("SELECT * FROM running_stats_mc").collect()[-1]
     assert (row.n, row.last_t, row.n_segments) == (20, 19, 1)
     assert row.y_sum == float(sum(order))
+
+
+def test_streaming_running_stats_v2_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (state-v2, RocksDB store) twin: same
+    cross-batch per-series state semantics as the applyInPandasWithState
+    operator — a contiguous segment split across files is counted once, a
+    cross-file gap opens exactly one new segment."""
+    import pytest
+    try:  # the TWS state protocol needs protobuf (absent in this sandbox)
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs the protobuf package")
+    import pandas as pd
+    from wotan_spark.spark.streaming import streaming_running_stats_v2
+
+    landing = tmp_path / "points"
+    landing.mkdir()
+    pd.DataFrame({"doc_id": ["a"] * 5 + ["b"] * 3,
+                  "t": [0, 1, 2, 3, 4, 0, 1, 2],
+                  "y": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 11.0, 12.0]}) \
+        .to_parquet(landing / "f1.parquet")
+    pd.DataFrame({"doc_id": ["a", "a", "a", "b"],
+                  "t": [5, 6, 100, 3],
+                  "y": [6.0, 7.0, 8.0, 13.0]}) \
+        .to_parquet(landing / "f2.parquet")
+
+    streaming_running_stats_v2(spark, str(landing), str(tmp_path / "ckpt"),
+                               query_name="running_stats_v2",
+                               break_tolerance=10, max_files_per_trigger=1)
+    rows = spark.sql("""
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC) AS rn
+            FROM running_stats_v2) WHERE rn = 1""").collect()
+    by_id = {r.doc_id: r for r in rows}
+    a, b = by_id["a"], by_id["b"]
+    assert (a.n, a.last_t, a.n_segments) == (8, 100, 2)
+    assert a.y_sum == 36.0 and (a.y_min, a.y_max) == (1.0, 8.0)
+    assert (b.n, b.last_t, b.n_segments) == (4, 3, 1)
