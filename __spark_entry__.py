@@ -433,6 +433,31 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified corpus sampling by source (auditable
+    mixture weights; no RNG state, map-side predicate)."""
+    from wotan_spark.spark.datapipe import stratified_sample
+    out = stratified_sample(_docs(spark, sf_dir),
+                            fractions={"web": 0.5, "books": 0.25},
+                            seed=17, default=0.1)
+    return out.select("doc_id", "source")
+
+
+def q_token_histogram(spark, sf_dir):
+    """Top-50 global BPE-ish token histogram with deterministic ranking."""
+    from wotan_spark.spark.datapipe import token_histogram
+    return token_histogram(_docs(spark, sf_dir), top_k=50)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing no 5-gram with the
+    benchmark subset (doc_id % 50 == 0) — broadcast semi-join probe."""
+    from wotan_spark.spark.datapipe import decontaminate
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
 def q_dedup_components(spark, sf_dir):
     """Dedup clustering: connected components of the exact n-gram near-dup
     pair graph (min-label propagation; the step that turns pair lists into
@@ -844,6 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _wrap(q_ngram_jaccard),
         "dedup_components": _wrap(q_dedup_components),
         "near_dup_survivors": _wrap(q_near_dup_survivors),
+        "stratified_sample": _wrap(q_stratified_sample),
+        "token_histogram": _wrap(q_token_histogram),
+        "decontaminate": _wrap(q_decontaminate),
         "minhash_signatures": _wrap(q_minhash_signatures),
         "minhash_lsh_pairs": _wrap(q_minhash_lsh_pairs),
         "simhash": _wrap(q_simhash),
@@ -1983,6 +2011,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         EXCEPT
         SELECT doc_id FROM comp WHERE doc_id <> component
+    """
+
+    sqls["stratified_sample"] = """
+        SELECT doc_id, source FROM documents
+        WHERE (('0x' || substr(md5(concat_ws(':', '17', source,
+                                             doc_id::VARCHAR)), 1, 14))
+               ::BIGINT % 1000000) / 1000000.0
+              < CASE WHEN source = 'web' THEN 0.5
+                     WHEN source = 'books' THEN 0.25
+                     ELSE 0.1 END
+    """
+
+    sqls["token_histogram"] = """
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(
+                text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS token
+            FROM documents),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM counts
+        QUALIFY rank <= 50
+    """
+
+    _SHINGLES5 = """
+        SELECT doc_id, unnest(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             || ' ' || w[i+4]
+             for i in generate_series(1, len(w) - 4)])) AS shingle
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents)
+        WHERE len(w) >= 5
+    """
+    sqls["decontaminate"] = f"""
+        WITH sh AS ({_SHINGLES5}),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        bad AS (SELECT DISTINCT doc_id FROM sh
+                WHERE shingle IN (SELECT shingle FROM bench))
+        SELECT doc_id FROM documents
+        EXCEPT SELECT doc_id FROM bad
     """
 
     # embeddings are float32 on disk; cast to DOUBLE[] so DuckDB's cosine

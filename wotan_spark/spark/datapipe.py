@@ -327,6 +327,54 @@ def simhash(docs: DataFrame, bits: int = 16, n: int = 2) -> DataFrame:
     return sh.groupBy("doc_id").agg(total.alias("simhash"))
 
 
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      seed: int = 17, default: float = 0.0) -> DataFrame:
+    """Deterministic hash-stratified sampling by the ``source`` column:
+    keep a doc iff its md5-derived uniform in [0, 1) is below the stratum's
+    fraction.  No RNG state — reproducible across engines, runs, and
+    repartitionings (the property a curation pipeline needs for auditable
+    mixture weights); map-side only, predicate fully pushable."""
+    u = (md5_long(F.concat_ws(":", F.lit(str(seed)), F.col("source"),
+                              F.col("doc_id").cast("string")))
+         % 1_000_000) / 1_000_000.0
+    expr = None
+    for src, frac in sorted(fractions.items()):
+        cond = F.col("source") == src
+        expr = (F.when(cond, F.lit(frac)) if expr is None
+                else expr.when(cond, F.lit(frac)))
+    frac_col = (expr.otherwise(F.lit(default)) if expr is not None
+                else F.lit(default))
+    return docs.filter(u < frac_col)
+
+
+def token_histogram(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """Top-k global token histogram over the BPE-ish tokenization:
+    (token, n, rank) with deterministic ties (count desc, token asc).
+    The rank sort runs over the VOCABULARY (post-aggregation), which is
+    orders smaller than the corpus — the corpus itself sees one
+    partial+final count aggregation."""
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    counts = (_spread(docs).select(F.explode(bpe).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination: the doc ids that share NO word n-gram
+    with the benchmark set (the held-out eval data a training corpus must
+    not contain).  The benchmark shingle set is small -> broadcast
+    left-semi probe; the corpus is scanned once and never shuffled."""
+    bench_sh = word_shingles(benchmark, n).select("shingle").distinct()
+    doc_sh = word_shingles(docs, n)
+    contaminated = (doc_sh
+                    .join(F.broadcast(bench_sh), "shingle", "left_semi")
+                    .select("doc_id").distinct())
+    return docs.select("doc_id").join(contaminated, "doc_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
