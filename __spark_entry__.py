@@ -198,7 +198,8 @@ def q_detrend_mean_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="mean", window_length=17)
+    det = detrend_sequences(seq, method="mean", window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -213,7 +214,8 @@ def q_detrend_biweight_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="biweight", window_length=17)
+    det = detrend_sequences(seq, method="biweight", window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -229,7 +231,8 @@ def q_detrend_median_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="median", window_length=17)
+    det = detrend_sequences(seq, method="median", window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -344,7 +347,8 @@ def q_detrend_rspline_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="rspline", window_length=17)
+    det = detrend_sequences(seq, method="rspline", window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -555,7 +559,8 @@ def q_detrend_trim_mean_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="trim_mean", window_length=17)
+    det = detrend_sequences(seq, method="trim_mean", window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -600,7 +605,8 @@ def q_detrend_masked_mean_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="mean", window_length=17,
-                            mask_transit=(50.0, 6.0, 10.0))
+                            mask_transit=(50.0, 6.0, 10.0),
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -692,7 +698,8 @@ def _pinned_detrend_query(key: str):
         if n_docs is not None:
             seq = seq.filter(F.col("doc_id").isin(
                 [f"user_{i}" for i in range(n_docs)]))
-        det = detrend_sequences(seq, method=method, **params)
+        det = detrend_sequences(seq, method=method, outputs=("flat",),
+                                **params)
         good = _good_flat()
         if spec.get("count_only"):
             return det.select("doc_id", F.size(good).alias("n_pts"))
@@ -711,7 +718,8 @@ def _packed_flat_sum(spark, sf_dir, method):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method=method, window_length=17)
+    det = detrend_sequences(seq, method=method, window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -781,7 +789,8 @@ def q_detrend_masked_biweight_packed(spark, sf_dir):
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
     det = detrend_sequences(seq, method="biweight", window_length=17,
-                            mask_transit=(50.0, 6.0, 10.0))
+                            mask_transit=(50.0, 6.0, 10.0),
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -797,7 +806,8 @@ def q_detrend_medfilt_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="medfilt", window_length=31)
+    det = detrend_sequences(seq, method="medfilt", window_length=31,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",
@@ -821,7 +831,8 @@ def q_detrend_winsorize_packed(spark, sf_dir):
     from wotan_spark.spark.detrend_op import detrend_sequences
     from wotan_spark.spark.synth import sequences_from_events
     seq = sequences_from_events(spark, sf_dir)
-    det = detrend_sequences(seq, method="winsorize", window_length=17)
+    det = detrend_sequences(seq, method="winsorize", window_length=17,
+                            outputs=("flat",))
     good = _good_flat()
     return det.select(
         "doc_id",

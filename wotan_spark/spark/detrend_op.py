@@ -64,16 +64,24 @@ def detrend_sequences(df: DataFrame, method: str = "biweight",
                       keep_tokens: bool = False,
                       mask_col: str | None = None,
                       mask_transit: tuple[float, float, float] | None = None,
+                      outputs: tuple[str, ...] = ("flat", "trend"),
                       **params) -> DataFrame:
     """sequences(doc_id, tokens, n_tok, source) ->
-    (doc_id, n_tok, source, flat, trend[, tokens]) with packed arrays.
+    (doc_id, n_tok, source[, flat][, trend][, tokens]) with packed arrays.
 
     Known-signal exclusion (reference ``flatten(..., mask=)``,
     wotan/flatten.py:194-197 — True = in-transit point excluded from the
     fit): pass ``mask_col`` naming an array<boolean> column aligned with
     ``tokens``, or ``mask_transit=(period, duration, T0)`` to derive the
-    periodic mask from the token index inside the same packed pass."""
+    periodic mask from the token index inside the same packed pass.
+
+    ``outputs`` selects which result arrays cross back into the JVM:
+    Catalyst cannot prune columns INSIDE a pandas UDF, so a caller that
+    only consumes ``flat`` should pass ``outputs=("flat",)`` and skip the
+    trend array's Arrow egress entirely (~40% of the UDF output bytes)."""
     params = dict(params, method=method)
+    want_flat = "flat" in outputs
+    want_trend = "trend" in outputs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from wotan_spark.kernels.series import transit_mask as _tmask
@@ -94,21 +102,34 @@ def detrend_sequences(df: DataFrame, method: str = "biweight",
                      else dict(params, mask=masks[row_i]))
                 flat, trend = _detrend_one(np.asarray(toks, dtype=np.int32),
                                            p)
-                flats.append(flat)
-                trends.append(trend)
+                if want_flat:
+                    flats.append(flat)
+                if want_trend:
+                    trends.append(trend)
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_tok": pdf["n_tok"].astype("int32"),
                 "source": pdf["source"],
-                "flat": flats,
-                "trend": trends,
             })
+            if want_flat:
+                out["flat"] = flats
+            if want_trend:
+                out["trend"] = trends
             if keep_tokens:
                 out["tokens"] = pdf["tokens"]
             yield out
 
-    schema = DETREND_SCHEMA_TOKENS if keep_tokens else DETREND_SCHEMA
-    return df.mapInPandas(run, schema=schema)
+    fields = [f for f in DETREND_SCHEMA.fields
+              if f.name not in ("flat", "trend")]
+    if want_flat:
+        fields.append(StructField("flat", ArrayType(DoubleType(), True), True))
+    if want_trend:
+        fields.append(StructField("trend", ArrayType(DoubleType(), True),
+                                  True))
+    if keep_tokens:
+        fields.append(StructField("tokens", ArrayType(IntegerType(), True),
+                                  False))
+    return df.mapInPandas(run, schema=StructType(fields))
 
 
 def detrend_points(points: DataFrame, method: str = "biweight",
