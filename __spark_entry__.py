@@ -522,6 +522,17 @@ def q_cosine_topk_ivf(spark, sf_dir):
                            k=3, n_centroids=8, nprobe=4)
 
 
+def q_embedding_dedup_components(spark, sf_dir):
+    """Operator composition across modalities: the SAME component
+    clustering over the embedding-cosine near-dup pair graph (dedup groups
+    of semantically-duplicate vectors)."""
+    from wotan_spark.spark.datapipe import (dedup_components,
+                                            embedding_near_dup_pairs)
+    pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+    comp = dedup_components(pairs, id_a="vec_id_a", id_b="vec_id_b")
+    return comp.select(F.col("doc_id").alias("vec_id"), "component")
+
+
 def q_tier10_median(spark, sf_dir):
     """Non-additive rollup statistic (exact median per bucket) — the
     tier stat that forces cascade tiers to recompute from finer tiers."""
@@ -889,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _wrap(q_cosine_topk),
         "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
         "embedding_near_dups": _wrap(q_embedding_near_dups),
+        "embedding_dedup_components": _wrap(q_embedding_dedup_components),
         "tier10_median": _wrap(q_tier10_median),
         "tier100_median_exact": _wrap(q_tier100_median_exact),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
@@ -2074,6 +2086,18 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.3
+    """
+
+    sqls["embedding_dedup_components"] = f"""
+        WITH RECURSIVE prs AS ({sqls["embedding_near_dups"]}),
+        edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM prs
+                  UNION SELECT vec_id_b AS u, vec_id_a AS v FROM prs),
+        walk AS (
+            SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u AS node, w.lbl
+            FROM walk w JOIN edges e ON e.v = w.node)
+        SELECT node AS vec_id, min(lbl) AS component FROM walk GROUP BY 1
     """
 
     sqls["minhash_signatures"] = f"""

@@ -73,8 +73,8 @@ def test_contract_size_never_regresses():
     (block edits to the big oracle dict have done this once): pin the
     minimum contract size and the exact rows-only set."""
     q, o = entrymod.queries(), entrymod.oracle_sql()
-    assert len(q) >= 73, f"queries() shrank to {len(q)}"
-    assert len(o) >= 72, f"oracle_sql() shrank to {len(o)}"
+    assert len(q) >= 74, f"queries() shrank to {len(q)}"
+    assert len(o) >= 73, f"oracle_sql() shrank to {len(o)}"
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
     # only the approximate ANN query is legitimately rows-only
