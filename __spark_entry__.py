@@ -442,7 +442,7 @@ def q_stratified_sample(spark, sf_dir):
     mixture weights; no RNG state, map-side predicate)."""
     from wotan_spark.spark.datapipe import stratified_sample
     out = stratified_sample(_docs(spark, sf_dir),
-                            fractions={"web": 0.5, "books": 0.25},
+                            fractions={"src0": 0.5, "src1": 0.25},
                             seed=17, default=0.1)
     return out.select("doc_id", "source")
 
@@ -2041,8 +2041,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE (('0x' || substr(md5(concat_ws(':', '17', source,
                                              doc_id::VARCHAR)), 1, 14))
                ::BIGINT % 1000000) / 1000000.0
-              < CASE WHEN source = 'web' THEN 0.5
-                     WHEN source = 'books' THEN 0.25
+              < CASE WHEN source = 'src0' THEN 0.5
+                     WHEN source = 'src1' THEN 0.25
                      ELSE 0.1 END
     """
 

@@ -187,3 +187,26 @@ def test_dedup_components_matches_union_find(spark):
     from wotan_spark.spark.datapipe import dedup_components
     got = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
     assert got == want
+
+
+def test_stratified_sample_deterministic_across_partitioning(spark):
+    """The hash-stratified sampler must select the SAME doc set at any
+    partitioning/parallelism (auditable mixture weights), and per-stratum
+    rates must track the requested fractions."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from wotan_spark.spark.datapipe import stratified_sample
+
+    fr = {"src0": 0.5, "src1": 0.25}
+    a = {r.doc_id for r in stratified_sample(
+        docs.repartition(1), fr, default=0.1).select("doc_id").collect()}
+    b = {r.doc_id for r in stratified_sample(
+        docs.repartition(13), fr, default=0.1).select("doc_id").collect()}
+    assert a == b and len(a) > 0
+    rates = {r.source: r.rate for r in
+             stratified_sample(docs, fr, default=0.1)
+             .groupBy("source").count()
+             .join(docs.groupBy("source").count()
+                   .withColumnRenamed("count", "total"), "source")
+             .selectExpr("source", "count / total AS rate").collect()}
+    assert abs(rates.get("src0", 0) - 0.5) < 0.2
+    assert abs(rates.get("src1", 0) - 0.25) < 0.2
