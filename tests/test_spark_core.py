@@ -317,3 +317,23 @@ def test_fused_rollup_auto_exact_including_median(spark):
             npt.assert_allclose(a, b, rtol=1e-12, equal_nan=True), c
         else:
             assert (a == b).all(), c
+
+
+def test_sequence_formats_roundtrip(spark, tmp_path):
+    """parquet / json / csv ingest all land on the canonical schema with
+    bit-exact token arrays (the per-row invariant) — CSV via the
+    Catalyst-only pipe-string round trip."""
+    from wotan_spark.spark.sources import read_sequences, write_sequences
+
+    seq = _seq(spark).orderBy("doc_id")
+    orig = {r.doc_id: (list(r.tokens), r.n_tok, r.source)
+            for r in seq.collect()}
+    for fmt in ("parquet", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_sequences(seq, path, format=fmt)
+        back = read_sequences(spark, path, format=fmt)
+        assert [f.name for f in back.schema.fields] == \
+            ["doc_id", "tokens", "n_tok", "source"]
+        got = {r.doc_id: (list(r.tokens), r.n_tok, r.source)
+               for r in back.collect()}
+        assert got == orig, fmt

@@ -1,0 +1,59 @@
+"""Multi-format ingest/egress for the tokenized-sequence table.
+
+The canonical table shape is BASELINE's input_hint —
+``(doc_id string, tokens array<int>, n_tok int, source string)`` — stored
+as parquet (the lakehouse snapshot format).  Interop sources arrive as
+JSON lines or CSV exports; this module reads any of them into the ONE
+canonical schema so every downstream operator is format-agnostic.
+
+CSV has no array type, so token arrays travel as a ``|``-joined string;
+the parse/serialize round-trip is pure Catalyst (``split``/``transform``
+cast, ``concat_ws``) — no Python, bit-exact for int32 tokens (tested).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wotan_spark.spark.synth import SEQUENCES_SCHEMA
+
+_CSV_SCHEMA = "doc_id string, tokens string, n_tok int, source string"
+
+
+def read_sequences(spark: SparkSession, path: str,
+                   format: str = "parquet") -> DataFrame:
+    """Read a sequences table from ``parquet`` / ``json`` / ``csv`` into
+    the canonical schema (explicit schema on every path: schema inference
+    would scan the data twice and can mis-type empty partitions)."""
+    if format == "parquet":
+        return spark.read.schema(SEQUENCES_SCHEMA).parquet(path)
+    if format == "json":
+        return spark.read.schema(SEQUENCES_SCHEMA).json(path)
+    if format == "csv":
+        raw = (spark.read.schema(_CSV_SCHEMA)
+               .option("header", "true").csv(path))
+        toks = F.when(
+            F.length("tokens") > 0,
+            F.transform(F.split("tokens", r"\|"),
+                        lambda s: s.cast("int"))
+        ).otherwise(F.array().cast("array<int>"))
+        return raw.select("doc_id", toks.alias("tokens"), "n_tok", "source")
+    raise ValueError(f"unknown sequence format {format!r}")
+
+
+def write_sequences(df: DataFrame, path: str,
+                    format: str = "parquet") -> None:
+    """Write a canonical sequences table as ``parquet``/``json``/``csv``."""
+    if format == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif format == "json":
+        df.write.mode("overwrite").json(path)
+    elif format == "csv":
+        (df.select("doc_id",
+                   F.concat_ws("|", F.col("tokens").cast("array<string>"))
+                   .alias("tokens"),
+                   "n_tok", "source")
+         .write.mode("overwrite").option("header", "true").csv(path))
+    else:
+        raise ValueError(f"unknown sequence format {format!r}")
