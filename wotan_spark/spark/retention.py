@@ -1,0 +1,116 @@
+"""Retention-policy enforcement + snapshot expiry for the tier tables.
+
+The north-star engine is rollup + downsample + RETENTION: finer tiers age
+out while coarser tiers persist (e.g. detrended/raw kept N buckets,
+tier-10 kept 10N, tier-100 forever).  Enforcement is a copy-on-write
+snapshot commit per table — retention never mutates data files, so every
+pre-retention snapshot stays time-travelable until ``expire_snapshots``
+reclaims its files (the Iceberg ``expire_snapshots`` model).
+
+At 100 TB the rewrite cost is bounded by what is KEPT, not what is
+dropped: the bucket filter is pushed to the snapshot scan (file-stats
+pruning skips whole aged-out data files via the manifest min/max on the
+bucket column), and the kept rows stream straight into the new snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from wotan_spark.spark.lakehouse import SnapshotTable
+
+
+@dataclass
+class RetentionPolicy:
+    """Per-table retention horizon in that table's OWN bucket units
+    (``None`` = keep forever).  Example for factor-10 cascading tiers:
+    ``{"detrended": 100, "tier10": 1000, "tier100": None}`` keeps the same
+    wall-clock span at every tier while the row count drops 10x per
+    level."""
+    keep_buckets: dict[str, int | None] = field(default_factory=dict)
+
+
+def cutoffs_from_policy(spark: SparkSession,
+                        tables: dict[str, SnapshotTable],
+                        policy: RetentionPolicy,
+                        bucket_col: str = "bucket") -> dict[str, int]:
+    """Translate horizons into absolute cutoffs from each table's current
+    max bucket: rows with ``bucket < cutoff`` age out."""
+    cutoffs: dict[str, int] = {}
+    for name, keep in policy.keep_buckets.items():
+        if keep is None or name not in tables:
+            continue
+        df = tables[name].read(spark)
+        if df is None:
+            continue
+        hi = df.agg(F.max(bucket_col)).collect()[0][0]
+        if hi is not None:
+            cutoffs[name] = int(hi) - int(keep) + 1
+    return cutoffs
+
+
+def apply_retention(spark: SparkSession,
+                    tables: dict[str, SnapshotTable],
+                    cutoffs: dict[str, int],
+                    bucket_col: str = "bucket",
+                    run_id: str = "retention") -> dict[str, dict]:
+    """Enforce ``bucket >= cutoff`` per table as one copy-on-write snapshot
+    commit each; returns per-table {dropped, kept, snapshot_id}.  Tables
+    without a cutoff are untouched; old snapshots remain readable."""
+    report: dict[str, dict] = {}
+    for name, cutoff in cutoffs.items():
+        table = tables[name]
+        cur = table.read(spark)
+        if cur is None:
+            continue
+        total = cur.count()
+        kept_df = cur.filter(F.col(bucket_col) >= cutoff)
+        kept = kept_df.count()
+        sid = table.overwrite(kept_df, run_id=run_id,
+                              retention_cutoff=cutoff)
+        report[name] = {"dropped": total - kept, "kept": kept,
+                        "snapshot_id": sid, "cutoff": cutoff}
+    return report
+
+
+def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
+    """Reclaim storage: keep only the newest ``keep_last`` snapshots of the
+    parent chain, delete every data directory referenced ONLY by expired
+    snapshots, and drop their manifests.  The oldest kept manifest is
+    rewritten with ``parent=None`` (history truncation point).  Time travel
+    to an expired snapshot is no longer possible — that is the point."""
+    import json
+
+    head = table.current_snapshot_id()
+    if head is None:
+        return {"expired": 0, "dirs_deleted": 0}
+    chain = table.snapshots()               # oldest .. newest
+    if len(chain) <= keep_last:
+        return {"expired": 0, "dirs_deleted": 0}
+    kept, expired = chain[-keep_last:], chain[:-keep_last]
+    kept_dirs = {d for m in kept for d in m["files"]}
+    drop_dirs = {d for m in expired for d in m["files"]} - kept_dirs
+    for d in drop_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    for m in expired:
+        try:
+            os.remove(os.path.join(table.manifest_dir,
+                                   f"snapshot-{m['snapshot_id']}.json"))
+        except FileNotFoundError:
+            pass
+    # truncate history: the oldest kept snapshot becomes the chain root
+    oldest = dict(kept[0])
+    oldest["parent"] = None
+    oldest.setdefault("meta", {})["history_expired"] = True
+    path = os.path.join(table.manifest_dir,
+                        f"snapshot-{oldest['snapshot_id']}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(oldest, f)
+    os.replace(tmp, path)
+    return {"expired": len(expired), "dirs_deleted": len(drop_dirs)}
