@@ -58,3 +58,26 @@ def test_expire_snapshots_reclaims_storage(spark, tier_tables):
     assert len(t10.snapshots()) == 2
     for d in old_dirs:
         assert not os.path.exists(d)
+
+
+def test_pipeline_enforce_retention_with_lineage(spark, tmp_path):
+    """End-to-end: run the stage graph, then age out fine-tier buckets via
+    the pipeline method — tier100 persists, lineage logs the commits."""
+    from wotan_spark.spark.pipeline import Pipeline, PipelineConfig
+    from wotan_spark.spark.retention import RetentionPolicy
+    from wotan_spark.spark.synth import synth_sequences
+
+    pipe = Pipeline(spark, str(tmp_path / "tables"),
+                    PipelineConfig(method="mean", window_length=17.0))
+    seq = synth_sequences(spark, 6, median_len=400, max_len=800)
+    pipe.run(seq, run_id="r1")
+    t10_before = pipe.tables["tier10"].read(spark).count()
+    report = pipe.enforce_retention(
+        RetentionPolicy({"tier10": 10, "tier100": None}))
+    assert report["tier10"]["dropped"] > 0
+    assert pipe.tables["tier10"].read(spark).count() < t10_before
+    t10 = pipe.tables["tier10"].read(spark)
+    hi = t10.agg(F.max("bucket")).collect()[0][0]
+    assert t10.agg(F.min("bucket")).collect()[0][0] == hi - 10 + 1
+    lineage = pipe.tables["lineage"].read(spark)
+    assert lineage.filter("stage = 'retention-tier10'").count() >= 1

@@ -170,6 +170,29 @@ class Pipeline:
         return out
 
     # ------------------------------------------------------------------
+    def enforce_retention(self, policy, run_id: str | None = None) -> dict:
+        """Apply a ``RetentionPolicy`` across the tier tables (fine tiers
+        age out, coarse persist), emitting a lineage row per retention
+        commit like any other stage.  Old snapshots stay time-travelable
+        until ``retention.expire_snapshots`` reclaims them."""
+        from wotan_spark.spark.retention import (apply_retention,
+                                                 cutoffs_from_policy)
+        run_id = run_id or f"ret-{int(time.time())}"
+        t0 = time.time()
+        cutoffs = cutoffs_from_policy(self.spark, self.tables, policy)
+        report = apply_retention(self.spark, self.tables, cutoffs,
+                                 run_id=run_id)
+        wall = time.time() - t0
+        for name, r in report.items():
+            rows = _file_lineage(self.tables[name], r["snapshot_id"], None,
+                                 run_id, f"retention-{name}", wall)
+            if rows:
+                self.tables["lineage"].append(
+                    self.spark.createDataFrame(rows),
+                    stage=f"retention-{name}", run_id=run_id)
+        return report
+
+    # ------------------------------------------------------------------
     def update_incremental(self, new_sequences: DataFrame,
                            run_id: str | None = None) -> dict:
         """Continuous-aggregate update for late/new sequences: fused
