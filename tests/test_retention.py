@@ -81,3 +81,36 @@ def test_pipeline_enforce_retention_with_lineage(spark, tmp_path):
     assert t10.agg(F.min("bucket")).collect()[0][0] == hi - 10 + 1
     lineage = pipe.tables["lineage"].read(spark)
     assert lineage.filter("stage = 'retention-tier10'").count() >= 1
+
+
+def test_late_data_does_not_resurrect_aged_out_buckets(spark, tmp_path):
+    """After a retention commit, an incremental update carrying buckets
+    OLDER than the cutoff must not re-insert them (while its fresh
+    buckets still merge normally)."""
+    from wotan_spark.spark.pipeline import Pipeline, PipelineConfig
+    from wotan_spark.spark.retention import RetentionPolicy
+    from wotan_spark.spark.synth import synth_sequences
+
+    pipe = Pipeline(spark, str(tmp_path / "tables"),
+                    PipelineConfig(method="mean", window_length=17.0))
+    pipe.run(synth_sequences(spark, 6, median_len=400, max_len=800),
+             run_id="r1")
+    pipe.enforce_retention(RetentionPolicy({"tier10": 10}))
+    t10 = pipe.tables["tier10"].read(spark)
+    cutoff = t10.agg(F.min("bucket")).collect()[0][0]
+
+    # a "late" full-history doc: its early buckets predate the cutoff,
+    # its tail reaches past it
+    import numpy as np
+    from wotan_spark.spark.synth import SEQUENCES_SCHEMA
+    toks = np.arange(820, dtype=np.int32) % 1000
+    late = spark.createDataFrame(
+        [("late_doc", toks.tolist(), 820, "synthetic")],
+        schema=SEQUENCES_SCHEMA)
+    pipe.update_incremental(late, run_id="late1")
+    t10b = pipe.tables["tier10"].read(spark)
+    assert t10b.agg(F.min("bucket")).collect()[0][0] >= cutoff
+    mine = t10b.filter("doc_id = 'late_doc'")
+    # fresh buckets merged; aged-out ones did not resurrect
+    assert mine.count() > 0
+    assert mine.agg(F.min("bucket")).collect()[0][0] >= cutoff

@@ -193,12 +193,29 @@ class Pipeline:
         return report
 
     # ------------------------------------------------------------------
+    def _retention_cutoff(self, name: str) -> int | None:
+        """Newest retention cutoff committed to a table (None if never
+        retained)."""
+        table = self.tables[name]
+        if table.current_snapshot_id() is None:
+            return None
+        for m in reversed(table.snapshots()):
+            c = m.get("meta", {}).get("retention_cutoff")
+            if c is not None:
+                return int(c)
+        return None
+
     def update_incremental(self, new_sequences: DataFrame,
                            run_id: str | None = None) -> dict:
         """Continuous-aggregate update for late/new sequences: fused
         detrend+tier10 on ONLY the new rows, MERGE-upserted into the tier
         tables keyed on (doc_id, bucket) — the batch equivalent of the
-        streaming ingestion path; raw history is never recomputed."""
+        streaming ingestion path; raw history is never recomputed.
+
+        Late rows OLDER than a table's committed retention cutoff are
+        dropped before the merge: without the gate, a straggler sequence
+        would silently resurrect aged-out buckets that every earlier
+        reader has already seen disappear."""
         from wotan_spark.spark.rollup import (cascade_tier,
                                               detrend_rollup_fused_auto)
         run_id = run_id or f"inc-{int(time.time())}"
@@ -212,10 +229,17 @@ class Pipeline:
                 .join(new_sequences.select("doc_id"), "doc_id", "left_semi"),
             cfg.method, factor=cfg.tier_factor,
             window_length=cfg.window_length, **cfg.params)
+        import pyspark.sql.functions as F
+        cut10 = self._retention_cutoff("tier10")
+        if cut10 is not None:
+            t10_new = t10_new.filter(F.col("bucket") >= cut10)
         sid10 = self.tables["tier10"].merge_buckets(
             self.spark, t10_new, keys=["doc_id", "bucket"],
             run_id=run_id, fingerprint=cfg.fingerprint())
         t100_new = cascade_tier(t10_new, step=cfg.tier_factor)
+        cut100 = self._retention_cutoff("tier100")
+        if cut100 is not None:
+            t100_new = t100_new.filter(F.col("bucket") >= cut100)
         sid100 = self.tables["tier100"].merge_buckets(
             self.spark, t100_new, keys=["doc_id", "bucket"],
             run_id=run_id, fingerprint=cfg.fingerprint())
