@@ -194,16 +194,8 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _retention_cutoff(self, name: str) -> int | None:
-        """Newest retention cutoff committed to a table (None if never
-        retained)."""
-        table = self.tables[name]
-        if table.current_snapshot_id() is None:
-            return None
-        for m in reversed(table.snapshots()):
-            c = m.get("meta", {}).get("retention_cutoff")
-            if c is not None:
-                return int(c)
-        return None
+        from wotan_spark.spark.retention import retention_cutoff
+        return retention_cutoff(self.tables[name])
 
     def update_incremental(self, new_sequences: DataFrame,
                            run_id: str | None = None) -> dict:

@@ -78,6 +78,19 @@ def apply_retention(spark: SparkSession,
     return report
 
 
+def retention_cutoff(table: SnapshotTable) -> int | None:
+    """Newest retention cutoff committed to a table (None if never
+    retained) — merge paths gate late data behind this so stragglers
+    cannot resurrect aged-out buckets."""
+    if table.current_snapshot_id() is None:
+        return None
+    for m in reversed(table.snapshots()):
+        c = m.get("meta", {}).get("retention_cutoff")
+        if c is not None:
+            return int(c)
+    return None
+
+
 def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
     """Reclaim storage: keep only the newest ``keep_last`` snapshots of the
     parent chain, delete every data directory referenced ONLY by expired

@@ -46,11 +46,19 @@ def run_ingestion(spark: SparkSession, landing_dir: str, table_root: str,
     stream = stream_sequences(spark, landing_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        from wotan_spark.spark.retention import retention_cutoff
+
         # skew-safe fused pass: a long landing doc is chunked+salted, each
         # chunk emits its bucket-aligned core's tier rows directly
         t10 = detrend_rollup_fused_auto(batch_df, method,
                                         window_length=window_length,
                                         factor=factor)
+        # late data never resurrects aged-out buckets (retention gate)
+        cut = retention_cutoff(tier_table)
+        if cut is not None:
+            t10 = t10.filter(F.col("bucket") >= cut)
         tier_table.merge_buckets(spark, t10, keys=["doc_id", "bucket"],
                                  stream_batch=batch_id)
 
