@@ -61,7 +61,9 @@ def main() -> None:
         params = spec["params"]
         max_tokens = spec.get("max_tokens", 4096)
         n_docs = spec.get("n_docs")
+        decimals = spec.get("decimals", 6)
         t0 = time.time()
+        min_margin = math.inf
         out = []
         for user_id, toks in rows:
             if n_docs is not None and int(user_id) >= n_docs:
@@ -74,13 +76,19 @@ def main() -> None:
             flat = res.flatten_lc
             good = flat[~np.isnan(flat)]
             flat_sum = float(good.cumsum()[-1]) if len(good) else 0.0
+            # distance of the raw value from the nearest half-up rounding
+            # boundary — if this ever approaches the method's numeric
+            # jitter, the pin precision must drop a decimal
+            frac = abs(flat_sum) * 10.0 ** decimals % 1.0
+            min_margin = min(min_margin, abs(frac - 0.5))
             out.append({"doc_id": f"user_{user_id}",
-                        "flat_sum": round_half_up(flat_sum, 6),
+                        "flat_sum": round_half_up(flat_sum, decimals),
                         "n_pts": int(len(good))})
         path = os.path.join(data_dir, f"pins_{key}_sf0.01.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=0)
-        print(f"{key}: {len(out)} docs, {round(time.time() - t0, 1)}s")
+        print(f"{key}: {len(out)} docs, {round(time.time() - t0, 1)}s, "
+              f"min boundary margin {min_margin:.3g} ulp@{decimals}dec")
 
 
 if __name__ == "__main__":

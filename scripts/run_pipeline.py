@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint dir for iterative operators "
+                         "(HDFS/S3 on a cluster); defaults to "
+                         "<root>/_checkpoints when --input/--root are "
+                         "cluster paths — omit to keep localCheckpoint")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,7 +69,8 @@ def main() -> None:
 
     cfg = PipelineConfig(method=args.method,
                          window_length=args.window_length,
-                         tier_factor=args.tier_factor)
+                         tier_factor=args.tier_factor,
+                         checkpoint_dir=args.checkpoint_dir)
     pipe = Pipeline(spark, args.root, cfg)
     out = pipe.run(sequences=seq, run_id=args.run_id)
     lineage = pipe.tables["lineage"].read(spark)

@@ -29,7 +29,8 @@ def _sequences(n_docs):
     return rows
 
 
-@pytest.mark.parametrize("key", ["lowess", "hspline", "ridge"])
+@pytest.mark.parametrize("key", ["lowess", "hspline", "ridge",
+                                 "gp_squared_exp"])
 def test_pins_match_live_kernel(key):
     from scripts.gen_method_pins import round_half_up
     from __spark_entry__ import PINNED_DETREND
@@ -51,4 +52,5 @@ def test_pins_match_live_kernel(key):
         flat_sum = float(good.cumsum()[-1]) if len(good) else 0.0
         pin = pins[f"user_{user_id}"]
         assert pin["n_pts"] == len(good), (key, user_id)
-        assert pin["flat_sum"] == round_half_up(flat_sum, 6), (key, user_id)
+        assert pin["flat_sum"] == round_half_up(
+            flat_sum, spec.get("decimals", 6)), (key, user_id)

@@ -99,3 +99,41 @@ def test_read_with_stats_pruning(spark, tmp_path):
     # range-clustered files -> most files pruned by manifest stats
     assert t.last_scan["files_pruned"] > t.last_scan["files_read"]
     assert full == 40
+
+
+def test_pipeline_checkpoint_dir_promotes_reliable_checkpoint(spark, tmp_path):
+    """PipelineConfig.checkpoint_dir must configure the session checkpoint
+    dir so pipeline-invoked iterative clustering uses fault-tolerant
+    checkpoint() (executor-loss-safe) instead of localCheckpoint —
+    evidenced by RDD checkpoint files landing under the configured dir."""
+    import os
+    from wotan_spark.spark.datapipe import dedup_components
+
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        Pipeline(spark, str(tmp_path / "tables"),
+                 PipelineConfig(checkpoint_dir=ckpt))
+        got = sc.getCheckpointDir()
+        # Spark reports a file: URI of a UUID subdir under the configured dir
+        assert got is not None and got.replace("file:", "").startswith(ckpt)
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "e")],
+            "doc_a string, doc_b string")
+        comp = {r.doc_id: r.component
+                for r in dedup_components(pairs).collect()}
+        assert comp == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+        written = [os.path.join(d, f)
+                   for d, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "no reliable-checkpoint files under checkpoint_dir"
+    finally:
+        # restore the previous (usually unset) dir so other tests keep the
+        # single-node localCheckpoint default
+        try:
+            jsc = sc._jsc.sc()
+            jopt = (sc._jvm.scala.Option.apply(prev) if prev is not None
+                    else sc._jvm.scala.Option.empty())
+            getattr(jsc, "checkpointDir_$eq")(jopt)
+        except Exception:
+            pass

@@ -60,6 +60,22 @@ def test_expire_snapshots_reclaims_storage(spark, tier_tables):
         assert not os.path.exists(d)
 
 
+def test_expire_snapshots_preserves_retention_cutoff(spark, tier_tables):
+    """Expiring the snapshot that recorded the retention cutoff must not
+    disarm the late-data gate: the rewritten chain root carries the
+    newest cutoff forward (ADVICE r2)."""
+    from wotan_spark.spark.retention import retention_cutoff
+    t10 = tier_tables["tier10"]
+    apply_retention(spark, tier_tables, {"tier10": 15})
+    # two post-retention commits push the retention snapshot off the tail
+    for i in range(2):
+        t10.overwrite(t10.read(spark), run_id=f"merge{i}")
+    assert retention_cutoff(t10) == 15
+    out = expire_snapshots(t10, keep_last=2)
+    assert out["expired"] >= 1
+    assert retention_cutoff(t10) == 15
+
+
 def test_pipeline_enforce_retention_with_lineage(spark, tmp_path):
     """End-to-end: run the stage graph, then age out fine-tier buckets via
     the pipeline method — tier100 persists, lineage logs the commits."""

@@ -35,10 +35,13 @@ def flatten(
     verbose=False,
 ):
     """Reference-compatible flatten: returns ``flatten_lc``, optionally
-    ``(flatten_lc, trend_lc)``, ``(flatten_lc, nsplines)`` or
-    ``(flatten_lc, trend_lc, nsplines)`` exactly as the reference does.
-    ``verbose`` is accepted for signature parity (the engine kernels do not
-    print)."""
+    ``(flatten_lc, trend_lc)`` or ``(flatten_lc, trend_lc, nsplines)``
+    as the reference does.  Deliberate divergence: for
+    ``return_nsplines=True`` without ``return_trend`` the reference has no
+    matching branch and falls through returning ``None``
+    (wotan/flatten.py:331-336); this wrapper returns the saner
+    ``(flatten_lc, nsplines)`` instead.  ``verbose`` is accepted for
+    signature parity (the engine kernels do not print)."""
     res = detrend_series(
         time, flux,
         window_length=window_length,

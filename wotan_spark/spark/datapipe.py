@@ -30,16 +30,22 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     few input files — the downstream shingle explode is CPU-bound and must
     not run on one core.  No-op when the scan already has enough files (the
     100 TB case), so no extra shuffle at scale.  Gates on the scan's file
-    metadata (``inputFiles``), NOT ``df.rdd.getNumPartitions()``, which
-    would force a DataFrame->RDD plan conversion on every call."""
+    metadata (``inputFiles``) in the common file-backed case — NOT
+    ``df.rdd.getNumPartitions()``, which forces a DataFrame->RDD plan
+    conversion; that fallback gate is paid only for non-file-backed frames
+    (createDataFrame, post-join plans), where ``inputFiles()`` is empty and
+    an unconditional repartition would add a redundant shuffle to plans
+    that already carry enough parallelism."""
     n = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # non-file source: spread unconditionally
+    except Exception:
         n_files = 0
-    if n_files < n:
-        return df.repartition(n, *cols) if cols else df.repartition(n)
-    return df
+    if n_files >= n:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
 def md5_long(col) -> F.Column:

@@ -43,6 +43,16 @@ class PipelineConfig:
     params: dict = field(default_factory=dict)
     tier_factor: int = 10
     block_size: int = 4096
+    # Reliable checkpoint directory for iterative operators invoked under
+    # this pipeline (dedup_components label propagation): when set, the
+    # session's checkpoint dir is configured at pipeline construction so
+    # every per-round lineage cut uses fault-tolerant ``checkpoint()``
+    # (executor-loss-safe — the at-scale default: point it at HDFS/S3).
+    # When None, iterative operators keep ``localCheckpoint()``, which is
+    # the honest single-node choice for local runs.  Execution knob only:
+    # deliberately excluded from fingerprint() so setting it never
+    # invalidates resumable stage snapshots.
+    checkpoint_dir: str | None = None
 
     def fingerprint(self) -> str:
         blob = json.dumps({
@@ -80,6 +90,8 @@ class Pipeline:
         self.spark = spark
         self.root = root
         self.config = config or PipelineConfig()
+        if self.config.checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(self.config.checkpoint_dir)
         self.tables = {
             name: SnapshotTable(os.path.join(root, name))
             for name in ("sequences", "detrended", "tier10", "tier100",

@@ -116,10 +116,25 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
                                    f"snapshot-{m['snapshot_id']}.json"))
         except FileNotFoundError:
             pass
-    # truncate history: the oldest kept snapshot becomes the chain root
+    # truncate history: the oldest kept snapshot becomes the chain root.
+    # The newest retention_cutoff of the FULL chain is carried into the
+    # rewritten root — otherwise expiring the snapshot that recorded it
+    # would return retention_cutoff() to None and silently disarm the
+    # late-data gates (exactly the hazard they exist to prevent).  A newer
+    # kept snapshot with its own cutoff still wins, since
+    # retention_cutoff() walks newest-first.
+    newest_cutoff = None
+    for m in reversed(chain):
+        c = m.get("meta", {}).get("retention_cutoff")
+        if c is not None:
+            newest_cutoff = int(c)
+            break
     oldest = dict(kept[0])
     oldest["parent"] = None
-    oldest.setdefault("meta", {})["history_expired"] = True
+    oldest["meta"] = dict(oldest.get("meta") or {})
+    oldest["meta"]["history_expired"] = True
+    if newest_cutoff is not None:
+        oldest["meta"]["retention_cutoff"] = newest_cutoff
     path = os.path.join(table.manifest_dir,
                         f"snapshot-{oldest['snapshot_id']}.json")
     tmp = path + ".tmp"
