@@ -28,6 +28,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    # stamp BEFORE Spark starts: the 1-min load here is pre-existing host
+    # contention, not our own executors
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     import __spark_entry__ as entrymod
     from wotan_spark.spark.rollup import cascade_tier, detrend_rollup_fused
@@ -54,17 +57,20 @@ def main() -> None:
                 "median_slider_rows", "minhash_lsh_pairs", "cosine_topk",
                 "slide_clip_packed", "ngram_jaccard_prefix",
                 "pricing_summary"]
-    reps = int(os.environ.get("WOTAN_BENCH_REPS", "2"))
+    # median-of-reps with per-rep samples recorded: this shared host drifts
+    # 2-3x run to run, so a single number per query is not adjudicable —
+    # the medians are the headline, the rep lists + load averages are the
+    # variance evidence
+    reps = int(os.environ.get("WOTAN_BENCH_REPS", "3"))
+    rep_samples: dict[str, list[float]] = {}
     for name in headline:
-        # best-of-reps: steady-state per-query cost, not first-touch noise
-        # (scan caches, codegen, python-worker spawn vary run to run)
-        best = None
+        samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             q[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(round(time.perf_counter() - t0, 3))
+        rep_samples[name] = samples
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     # synthesized tokenized corpus: fused detrend+tier10 -> tier100 cascade
     n_docs = int(os.environ.get("WOTAN_BENCH_DOCS", max(int(sf * 20000), 200)))
@@ -89,6 +95,10 @@ def main() -> None:
         "synth_docs": n_seq,
         "sequences_per_sec": seq_per_sec,
         "cpus": cpus,
+        "reps": reps,
+        "rep_samples": rep_samples,
+        "load_avg_start": load_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }))
     spark.stop()
 

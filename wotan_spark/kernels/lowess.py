@@ -34,13 +34,29 @@ def _window_bounds(x: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _fit_rows(XW: np.ndarray, YW: np.ndarray, W: np.ndarray,
-              xi: np.ndarray) -> np.ndarray:
-    """Row-wise linear projection fit (reference calc_y_fit)."""
-    w1 = np.sum(W * XW, axis=1)
-    d = XW - w1[:, None]
-    w2 = np.sum(W * d ** 2, axis=1)
+              xi: np.ndarray, bufT: np.ndarray,
+              bufD: np.ndarray) -> np.ndarray:
+    """Row-wise linear projection fit (reference calc_y_fit).
+
+    Buffered: every elementwise step writes into a preallocated scratch
+    matrix instead of a fresh temporary — the window matrices are ~50 MB at
+    the reference load, so allocation + memory traffic dominates the flops.
+    Bit-identical to the naive expression: elementwise multiplies are
+    reordered only commutatively and every axis-1 reduction is the same
+    pairwise ``np.sum`` over the same values."""
+    np.multiply(W, XW, out=bufT)
+    w1 = np.sum(bufT, axis=1)
+    np.subtract(XW, w1[:, None], out=bufD)          # d
+    np.multiply(bufD, bufD, out=bufT)
+    np.multiply(bufT, W, out=bufT)                  # W * d**2
+    w2 = np.sum(bufT, axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
-        out = np.sum(W * ((1.0 + (xi - w1)[:, None] * d / w2[:, None]) * YW), axis=1)
+        np.multiply(bufD, (xi - w1)[:, None], out=bufT)
+        np.divide(bufT, w2[:, None], out=bufT)
+        np.add(bufT, 1.0, out=bufT)
+        np.multiply(bufT, YW, out=bufT)
+        np.multiply(bufT, W, out=bufT)
+        out = np.sum(bufT, axis=1)
     out[w2 == 0.0] = np.nan
     return out
 
@@ -79,23 +95,36 @@ def lowess(x: np.ndarray, y: np.ndarray, mask: np.ndarray,
             else np.maximum(xi - XW[:, 0], np.nan)
         with np.errstate(invalid="ignore", divide="ignore"):
             Wd = (1.0 - (np.abs(XW - xi[:, None]) / radius[:, None]) ** 3) ** 3
-        staged.append((idx, rows, XW, YW, xi, Wd))
+        # three scratch matrices per length group, reused every iteration:
+        # the working weight matrix, a general temp, and the centered-x
+        # matrix — buffering removes ~10 full-size temporaries per pass
+        bufW = np.empty_like(Wd)
+        bufT = np.empty_like(Wd)
+        bufD = np.empty_like(Wd)
+        staged.append((idx, rows, XW, YW, xi, Wd, bufW, bufT, bufD))
     nan_idx = [idx for L, idx in groups if L <= 0]
 
     for _ in range(maxiter):
         trend = np.zeros(n)
         for idx in nan_idx:
             trend[idx] = np.nan
-        for idx, rows, XW, YW, xi, Wd in staged:
+        for idx, rows, XW, YW, xi, Wd, bufW, bufT, bufD in staged:
             if use_y_weights:
                 rw = y_weights[rows]
                 has = np.any(rw != 0.0, axis=1)
-                W = np.where(has[:, None], Wd * rw, Wd)
+                np.multiply(Wd, rw, out=bufW)
+                no_rw = ~has
+                if no_rw.any():
+                    bufW[no_rw] = Wd[no_rw]
             else:
-                W = Wd
+                np.copyto(bufW, Wd)
+            # row-normalize in place; the NaN-as-zero sum is nansum's exact
+            # semantics without its internal full-matrix copy
+            np.copyto(bufT, bufW)
+            bufT[np.isnan(bufT)] = 0.0
             with np.errstate(invalid="ignore", divide="ignore"):
-                W = W / np.nansum(W, axis=1)[:, None]
-            trend[idx] = _fit_rows(XW, YW, W, xi)
+                np.divide(bufW, np.sum(bufT, axis=1)[:, None], out=bufW)
+            trend[idx] = _fit_rows(XW, YW, bufW, xi, bufT, bufD)
 
         diff = np.abs(y - trend)
         med = np.nanmedian(diff)

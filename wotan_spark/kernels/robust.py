@@ -266,11 +266,20 @@ def huber_location_1d(f: np.ndarray, cval: float,
 # ---------------------------------------------------------------------------
 
 def _hampel_weights(z: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    # piecewise assignment instead of a nested full-array where-chain (the
+    # chain evaluates every branch expression over the whole matrix);
+    # per-band divisions are the same elementwise IEEE ops, so the weights
+    # are bit-identical.  az=NaN falls through every band to 0.0, exactly
+    # as the where-chain's innermost else did.
     az = np.abs(z)
-    az = np.where(az == 0.0, 1e-100, az)
-    w = np.where(az <= a, 1.0,
-                 np.where(az <= b, a / az,
-                          np.where(az <= c, a * (c - az) / (az * (c - b)), 0.0)))
+    az[az == 0.0] = 1e-100
+    w = np.zeros_like(az)
+    w[az <= a] = 1.0
+    m = (az > a) & (az <= b)
+    w[m] = a / az[m]
+    m = (az > b) & (az <= c)
+    azm = az[m]
+    w[m] = a * (c - azm) / (azm * (c - b))
     w[np.isnan(w)] = 1.0
     return w
 

@@ -56,17 +56,38 @@ _FAST_2D = {
     "tau": lambda F, cval: robust.tau_2d(F, cval),
 }
 
-_SLOW_1D = {
-    "huber": lambda f, cval: robust.huber_location_1d(f, cval),
-    "hampel": lambda f, cval: robust.irls_intercept_1d(f, "hampel", cval),
-    "ramsay": lambda f, cval: robust.irls_intercept_1d(f, "ramsay", cval),
-}
-
 _ITER_2D = {
     "huber": lambda F, cval: robust.huber_location_2d(F, cval),
     "hampel": lambda F, cval: robust.irls_intercept_2d(F, "hampel", cval),
     "ramsay": lambda F, cval: robust.irls_intercept_2d(F, "ramsay", cval),
 }
+
+
+def _grouped_ragged(out: np.ndarray, centers: np.ndarray,
+                    starts: np.ndarray, ends: np.ndarray,
+                    keep: np.ndarray, values: np.ndarray,
+                    est, cval, min_len: int) -> None:
+    """Batch ragged windows (mask/NaN-dropped contents) through the
+    row-vectorized estimators: windows are regrouped by their KEPT length —
+    ``kept_idx[pos[s] : pos[e]]`` enumerates a window's surviving values in
+    order — so each group is one dense (rows, K) matrix instead of a
+    per-window Python call.  The 2-D estimators are row-independent
+    (row-frozen iteration), so results are bit-equal to the per-window
+    path."""
+    kept_idx = np.where(keep)[0]
+    pos = np.concatenate(([0], np.cumsum(keep)))
+    ks, ke = pos[starts], pos[ends]
+    counts = ke - ks
+    for K in np.unique(counts):
+        if K < min_len:
+            continue  # too-small windows stay NaN
+        g = np.where(counts == K)[0]
+        offs = np.arange(K)[None, :]
+        block = max(int(32768 / max(K, 1)), 256)
+        for b in range(0, len(g), block):
+            gb = g[b:b + block]
+            rows = kept_idx[ks[gb][:, None] + offs]
+            out[centers[gb]] = est(values[rows], cval)
 
 
 def _center_selection(time: np.ndarray, window_length: float,
@@ -99,14 +120,12 @@ def running_slider(time: np.ndarray, flux: np.ndarray, mask: np.ndarray,
     starts, ends = starts[centers], ends[centers]
     lengths = ends - starts
 
-    # Ragged path only when sentinel-dropping can change window contents.
+    # Ragged path only when sentinel-dropping can change window contents:
+    # regroup by kept length and run the same row-vectorized estimators.
     ragged = bool(np.any(mf <= _NEG_SENTINEL))
     if ragged:
-        for c, s, e in zip(centers, starts, ends):
-            f = mf[s:e]
-            f = f[f > _NEG_SENTINEL]
-            if len(f):
-                out[c] = est(f[None, :], cval)[0]
+        _grouped_ragged(out, centers, starts, ends, mf > _NEG_SENTINEL,
+                        mf, est, cval, min_len=1)
         return out
 
     # evaluate in row blocks sized to keep the gathered (block, L) window
@@ -129,8 +148,11 @@ def running_slider_iterative(time: np.ndarray, flux: np.ndarray, mask: np.ndarra
                              window_length: float, edge_cutoff: float, cval,
                              method: str) -> np.ndarray:
     """Iterative-estimator slider (reference ``running_segment_slow``,
-    wotan/slider.py:94-165): NaN-masking, windows with <=1 point give NaN."""
-    est = _SLOW_1D[method]
+    wotan/slider.py:94-165): NaN-masking, windows with <=1 point give NaN.
+    Both the dense and the ragged path run the row-vectorized 2-D IRLS
+    (bit-equal per row to the 1-D reference twins in kernels/robust.py)."""
+    if method not in _ITER_2D:
+        raise ValueError(method)
     n = len(time)
     out = np.full(n, np.nan)
     if n == 0:
@@ -162,11 +184,10 @@ def running_slider_iterative(time: np.ndarray, flux: np.ndarray, mask: np.ndarra
                 out[centers[gb]] = est2(mf[rows], cval)
         return out
 
-    for c in centers:
-        f = mf[starts[c]:ends[c]]
-        f = f[~np.isnan(f)]
-        if len(f) > 1:
-            out[c] = est(f, cval)
+    # ragged (NaN-masked) path: same kept-length regrouping into the
+    # row-vectorized IRLS (reference: windows with <=1 kept point stay NaN)
+    _grouped_ragged(out, centers, starts[centers], ends[centers],
+                    ~np.isnan(mf), mf, _ITER_2D[method], cval, min_len=2)
     return out
 
 
