@@ -75,6 +75,7 @@ def main() -> None:
     for n in levels:
         effs = []
         for _ in range(rounds):
+            load_pre = [round(x, 2) for x in os.getloadavg()]
             w_lo = run_level(path, n, reps)
             w_hi = run_level(path, 4 * n, reps)
             eff = (w_lo / w_hi) / 4.0
@@ -84,6 +85,10 @@ def main() -> None:
                 "tput_n": round(n_docs / w_lo, 1),
                 "tput_4n": round(n_docs / w_hi, 1),
                 "efficiency": round(eff, 3),
+                # pre-round external load (our own sessions are torn down
+                # between rounds; 1-min avg still carries some tail of the
+                # previous round's own work)
+                "load_avg_pre": load_pre,
             })
         out[f"efficiency_{n}_to_{4*n}_median"] = round(
             statistics.median(effs), 3)

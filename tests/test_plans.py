@@ -160,3 +160,18 @@ def test_no_row_at_a_time_python_udfs():
         text = f.read_text()
         assert not re.search(r"\bF\.udf\s*\(|\budf\s*\(\s*lambda", text), \
             f"row-at-a-time UDF in {f}"
+
+
+def test_spread_skips_shuffle_when_parallelism_sufficient(spark):
+    """_spread on a non-file-backed frame (inputFiles empty) must gate on
+    the plan's existing partition count instead of repartitioning
+    unconditionally — an already-parallel in-memory frame gains no shuffle
+    (ADVICE r2)."""
+    from wotan_spark.spark.datapipe import _spread
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, numPartitions=n + 2)
+    assert _spread(wide) is wide                      # no-op, same plan
+    narrow = spark.range(0, 1000, numPartitions=1)
+    out = _spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == n
