@@ -858,6 +858,42 @@ def q_detrend_winsorize_packed(spark, sf_dir):
         F.size(good).alias("n_pts"))
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time enrichment (backward as-of join): every event is
+    annotated with the mean of its user's latest COMPLETED hourly bucket
+    (right timestamp = bucket end), NULL when no hour has completed yet or
+    the freshest completed bucket is staler than 3 h (tolerance).  Engine:
+    union-sort as-of join — one hash exchange + one window pass, no join
+    operator (spark/joins.py).  Oracle: DuckDB's native ASOF JOIN."""
+    from wotan_spark.spark.joins import asof_join
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id", "value")
+    t10 = (_events(spark, sf_dir)
+           .groupBy("user_id",
+                    F.expr(f"unix_micros(cast(ts as timestamp)) div "
+                           f"{HOUR_US}").alias("bucket"))
+           .agg(F.avg("value").alias("y_mean"))
+           .select("user_id",
+                   ((F.col("bucket") + 1) * HOUR_US).alias("t_end"),
+                   "y_mean"))
+    out = asof_join(ev, t10, on="user_id", left_time="t_us",
+                    right_time="t_end", tolerance=3 * HOUR_US)
+    return out.select("user_id", "event_id", "t_us",
+                      F.round("value", 6).alias("value"),
+                      F.round("y_mean_asof", 6).alias("prev_hour_mean"))
+
+
+def q_cosine_topk_pq(spark, sf_dir):
+    """Third ANN scale path: product-quantization codes + ADC lookup-table
+    scoring, exact rerank of the approximate top candidates.  Deterministic
+    (fixed-seed codebooks), so its recall-tested output is pinned as a
+    VALUES oracle by scripts/gen_ivf_pins.py — same pattern as IVF."""
+    from wotan_spark.spark.datapipe import cosine_topk_pq
+    return cosine_topk_pq(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
+                          k=3, m=8, n_centroids=16, rerank=32)
+
+
 def _wrap(fn):
     def g(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shipped(spark)
@@ -967,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
         "embedding_near_dups": _wrap(q_embedding_near_dups),
         "embedding_dedup_components": _wrap(q_embedding_dedup_components),
+        "asof_enrich": _wrap(q_asof_enrich),
+        "cosine_topk_pq": _wrap(q_cosine_topk_pq),
     }
 
 
@@ -2203,22 +2241,41 @@ def oracle_sql() -> dict[str, str]:
         except OSError:  # not yet generated -> rows-only
             pass
 
-    # cosine_topk_ivf: approximate by design, but deterministic (fixed
-    # k-means seed + orderBy'd training sample), so its recall-tested
-    # output is pinned by scripts/gen_ivf_pins.py — no rows-only queries
-    # remain in the contract
-    try:
-        import json as _json
-        with open(os.path.join(_data, "pins_ivf_sf0.01.json")) as _f:
-            _ivf = _json.load(_f)
+    # approximate-ANN queries (IVF cells, PQ codes): approximate by design,
+    # but deterministic (fixed seeds + orderBy'd training samples), so
+    # their recall-tested outputs are pinned by scripts/gen_ivf_pins.py —
+    # no rows-only queries remain in the contract
+    import json as _json
+    for _qname, _pin in (("cosine_topk_ivf", "pins_ivf_sf0.01.json"),
+                         ("cosine_topk_pq", "pins_pq_sf0.01.json")):
+        try:
+            with open(os.path.join(_data, _pin)) as _f:
+                _ann = _json.load(_f)
+        except OSError:
+            continue
         _vals = ", ".join(
             f"({p['query_id']}, {p['neighbor_id']}, {p['rank']}, "
-            f"{p['cos_sim']!r}::DOUBLE)" for p in _ivf)
-        sqls["cosine_topk_ivf"] = (
+            f"{p['cos_sim']!r}::DOUBLE)" for p in _ann)
+        sqls[_qname] = (
             f"SELECT query_id, neighbor_id, rank, cos_sim FROM (VALUES "
             f"{_vals}) AS v(query_id, neighbor_id, rank, cos_sim)")
-    except OSError:
-        pass
+
+    sqls["asof_enrich"] = f"""
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t_us, value
+            FROM events),
+        t10 AS (
+            SELECT user_id,
+                   (epoch_us(ts) // {HOUR_US} + 1) * {HOUR_US} AS t_end,
+                   avg(value) AS y_mean
+            FROM events GROUP BY user_id, epoch_us(ts) // {HOUR_US})
+        SELECT ev.user_id, ev.event_id, ev.t_us,
+               round(ev.value, 6) AS value,
+               round(CASE WHEN ev.t_us - t10.t_end <= {3 * HOUR_US}
+                          THEN t10.y_mean END, 6) AS prev_hour_mean
+        FROM ev ASOF LEFT JOIN t10
+             ON ev.user_id = t10.user_id AND ev.t_us >= t10.t_end
+    """
 
     sqls["cosine_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -30,31 +30,37 @@ if REPO not in sys.path:
 SF_DIR = "/root/testdata/sf0.01"
 
 
+ANN_PINS = {"cosine_topk_ivf": "pins_ivf_sf0.01.json",
+            "cosine_topk_pq": "pins_pq_sf0.01.json"}
+
+
 def main() -> None:
     from wotan_spark.spark.session import get_spark
     import __spark_entry__ as entry
 
-    spark = get_spark(app_name="gen-ivf-pins", cores=4, shuffle_partitions=8)
+    keys = sys.argv[1:] or list(ANN_PINS)
+    spark = get_spark(app_name="gen-ann-pins", cores=4, shuffle_partitions=8)
     try:
-        rows = (entry.queries()["cosine_topk_ivf"](spark, SF_DIR)
-                .orderBy("query_id", "rank").collect())
+        for key in keys:
+            rows = (entry.queries()[key](spark, SF_DIR)
+                    .orderBy("query_id", "rank").collect())
+            out = [{"query_id": r.query_id, "neighbor_id": r.neighbor_id,
+                    "rank": r.rank, "cos_sim": r.cos_sim} for r in rows]
+            path = os.path.join(REPO, "wotan_spark", "data", ANN_PINS[key])
+            with open(path, "w") as f:
+                json.dump(out, f, indent=0)
+            gaps = []
+            by_q: dict[int, list] = {}
+            for r in out:
+                by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+            for sims in by_q.values():
+                gaps += [abs(a - b) for a, b in zip(sims, sims[1:])
+                         if a != b]
+            print(f"{key}: {len(out)} rows pinned to {path}; "
+                  + (f"min nonzero rank gap: {min(gaps):.3g}" if gaps
+                     else "no gaps"))
     finally:
         spark.stop()
-
-    out = [{"query_id": r.query_id, "neighbor_id": r.neighbor_id,
-            "rank": r.rank, "cos_sim": r.cos_sim} for r in rows]
-    path = os.path.join(REPO, "wotan_spark", "data", "pins_ivf_sf0.01.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=0)
-
-    gaps = []
-    by_q: dict[int, list] = {}
-    for r in out:
-        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
-    for sims in by_q.values():
-        gaps += [abs(a - b) for a, b in zip(sims, sims[1:]) if a != b]
-    print(f"{len(out)} rows pinned to {path}")
-    print(f"min nonzero rank gap: {min(gaps):.3g}" if gaps else "no gaps")
 
 
 if __name__ == "__main__":

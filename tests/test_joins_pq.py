@@ -1,0 +1,91 @@
+"""As-of join semantics + product-quantization ANN quality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from wotan_spark.spark.joins import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 11.0), ("a", 5, 12.0), ("b", 2, 20.0),
+         ("b", 9, 21.0), ("c", 3, 30.0)],
+        "k string, t long, v double")
+    right = spark.createDataFrame(
+        [("a", 0, 100.0), ("a", 5, 105.0), ("a", 7, 107.0),
+         ("b", 4, 200.0)],
+        "k string, rt long, p double")
+    return left, right
+
+
+def test_asof_join_backward_with_ties(spark):
+    """Backward as-of: latest right.t <= left.t per key, ties included;
+    keys with no past right row get NULL payload."""
+    left, right = _frames(spark)
+    out = {(r.k, r.t, r.v): r.p_asof
+           for r in asof_join(left, right, on="k",
+                              left_time="t", right_time="rt").collect()}
+    assert out == {("a", 1, 10.0): 100.0,
+                   ("a", 5, 11.0): 105.0,   # tie: right@5 visible to left@5
+                   ("a", 5, 12.0): 105.0,
+                   ("b", 2, 20.0): None,
+                   ("b", 9, 21.0): 200.0,
+                   ("c", 3, 30.0): None}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {(r.k, r.t, r.v): r.p_asof
+           for r in asof_join(left, right, on="k", left_time="t",
+                              right_time="rt", tolerance=3).collect()}
+    assert out[("b", 9, 21.0)] is None       # 9 - 4 = 5 > 3: stale
+    assert out[("a", 5, 11.0)] == 105.0      # 5 - 5 = 0 <= 3
+    assert out[("a", 1, 10.0)] == 100.0      # 1 - 0 = 1 <= 3
+
+
+def test_asof_join_plan_has_single_exchange_no_join(spark):
+    """The union-sort formulation must not degrade into a join operator —
+    one hash exchange on the keys, one window sort, zero joins."""
+    left, right = _frames(spark)
+    plan = asof_join(left, right, on="k", left_time="t",
+                     right_time="rt")._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_encode_shapes_and_determinism(spark, tmp_path):
+    from wotan_spark.spark.datapipe import pq_codebooks, pq_encode
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    B = pq_codebooks(emb, m=8, n_centroids=16)
+    assert B.shape == (8, 16, 8)
+    B2 = pq_codebooks(emb, m=8, n_centroids=16)
+    assert np.array_equal(B, B2)             # fixed seed + ordered sample
+    codes = pq_encode(emb, B).orderBy("vec_id").limit(20).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+
+def test_pq_topk_recall_vs_brute(spark):
+    """ADC candidates + exact rerank must recover most of the true top-k
+    (the rerank tail makes the scores exact; only candidate RECALL is
+    approximate)."""
+    from wotan_spark.spark.datapipe import cosine_topk, cosine_topk_pq
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    truth = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_pq(emb, qids, k=3, m=8, n_centroids=16,
+                                   rerank=32).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"PQ recall {recall}"
+    # exact-rerank property: every returned pair carries the true cosine
+    brute_all = {(r.query_id, r.neighbor_id): r.cos_sim
+                 for r in cosine_topk(emb, qids, k=50).collect()}
+    for r in cosine_topk_pq(emb, qids, k=3, rerank=32).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in brute_all:
+            assert abs(brute_all[key] - r.cos_sim) < 1e-9

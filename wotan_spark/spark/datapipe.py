@@ -751,6 +751,148 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 3,
     return _rerank_candidates(emb, cand, query_ids, k, round_to)
 
 
+
+def pq_codebooks(emb: DataFrame, m: int = 8, n_centroids: int = 16,
+                 n_iter: int = 8, seed: int = 13, sample: int = 4096):
+    """Train product-quantization codebooks: split the (normalized)
+    embedding into ``m`` subspaces and k-means each independently on a
+    deterministic bounded sample.  Returns a ``[m, n_centroids, dim//m]``
+    ndarray.  Same scale profile as ``ivf_centroids``: driver-side on a
+    few thousand rows, broadcast as a few KB."""
+    import numpy as np
+
+    pdf = emb.orderBy("vec_id").limit(sample).select("embedding").toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_centroids, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=min(n_centroids, len(Xs)),
+                          replace=False)]
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            newC = np.zeros_like(C)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+            np.add.at(newC, assign, Xs)
+            dead = counts == 0
+            newC = np.where(dead[:, None], C,
+                            newC / np.maximum(counts, 1.0)[:, None])
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books[s] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes array<int>): nearest sub-centroid per subspace, one
+    shuffle-free Arrow pass.  At scale this is the memory play: dim float32
+    -> m small ints per vector (e.g. 256 B -> 8 B), so a 10^12-vector index
+    fits a few TB of executor memory instead of a few hundred."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+    out_schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("codes", ArrayType(IntegerType(), False), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12, None)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "codes": list(codes)})
+
+    return emb.mapInPandas(run, schema=out_schema)
+
+
+def cosine_topk_pq(emb: DataFrame, query_ids: list[int], k: int = 3,
+                   m: int = 8, n_centroids: int = 16, rerank: int = 32,
+                   round_to: int = 5) -> DataFrame:
+    """Approximate cosine top-k via product quantization + asymmetric
+    distance computation (ADC): per query, a tiny ``[m, n_centroids]``
+    lookup table of sub-dot-products scores every vector from its codes
+    alone; the approximate top-``rerank`` candidates are then exact-reranked
+    (same tail as the LSH/IVF paths).  Same output shape as cosine_topk.
+
+    Scale path: the corpus is touched once through its code columns (no
+    raw-vector scan), the per-batch partial top-rerank keeps the exchange
+    at rerank * parts * queries rows, and the exact rerank joins only
+    rerank * queries raw vectors.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    B = pq_codebooks(emb, m=m, n_centroids=n_centroids)
+    dsub = B.shape[2]
+    coded = pq_encode(emb, B)
+
+    qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "embedding").toPandas())
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qpdf["embedding"]])
+    Q = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    qids = qpdf["vec_id"].to_numpy()
+    # LUT[q, s, c] = <Q_sub(q,s), centroid(s,c)> ; ADC score = sum_s LUT
+    lut = np.einsum("qsd,scd->qsc",
+                    Q.reshape(len(Q), m, dsub), B)
+
+    cand_schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("neighbor_id", LongType(), False),
+        StructField("approx", DoubleType(), False),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = ~pdf["vec_id"].isin(query_ids)
+            if not keep.any():
+                continue
+            ids = pdf["vec_id"].to_numpy()[keep.to_numpy()]
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["codes"][keep]])
+            # gather per-subspace LUT entries: [n_queries, rows]
+            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, -approx[j]))[:rerank]
+                out_q.extend([int(qid)] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(approx[j][order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "approx": out_s})
+
+    cands = coded.mapInPandas(score, schema=cand_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id"))
+    cand = (cands.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= rerank)
+            .select("query_id", "neighbor_id"))
+    return _rerank_candidates(emb, cand, query_ids, k, round_to)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
