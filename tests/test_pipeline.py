@@ -137,3 +137,54 @@ def test_pipeline_checkpoint_dir_promotes_reliable_checkpoint(spark, tmp_path):
             getattr(jsc, "checkpointDir_$eq")(jopt)
         except Exception:
             pass
+
+
+def test_compaction_binpacks_and_clusters_for_pruning(spark, tmp_path):
+    """compact() must shrink the file count without changing data, and a
+    cluster_by rewrite must make range reads prune most files via the
+    manifest stats."""
+    import pyspark.sql.functions as F
+    t = SnapshotTable(str(tmp_path / "t"))
+    # 6 small-file generations (streaming-merge shape), interleaved ranges
+    for g in range(6):
+        rows = [(i, float(i * 2)) for i in range(g, 6000, 6)]
+        t.append(spark.createDataFrame(rows, "bucket long, y double")
+                 .repartition(8), gen=g)
+    before_files = len(t.data_files())
+    before = t.read(spark).groupBy().agg(
+        F.count("*").alias("n"), F.sum("bucket").alias("s")).collect()[0]
+    pre_sid = t.current_snapshot_id()
+
+    sid = t.compact(spark, target_file_rows=1500, cluster_by="bucket")
+    after_files = len(t.data_files())
+    assert after_files < before_files and after_files <= 4
+    after = t.read(spark).groupBy().agg(
+        F.count("*").alias("n"), F.sum("bucket").alias("s")).collect()[0]
+    assert (before.n, before.s) == (after.n, after.s)
+    # fragmented history still time-travels
+    assert t.read(spark, snapshot_id=pre_sid).count() == before.n
+    assert t._manifest(sid)["meta"]["clustered_by"] == "bucket"
+
+    # range probe prunes to a minority of files post-clustering
+    got = t.read(spark, where=("bucket", 100, 200))
+    assert got.count() == 101
+    assert t.last_scan["files_pruned"] >= t.last_scan["files_read"]
+
+
+def test_pipeline_compaction_with_lineage(spark, tmp_path):
+    from wotan_spark.spark.synth import synth_sequences
+    pipe = Pipeline(spark, str(tmp_path / "tables"),
+                    PipelineConfig(method="mean", window_length=17.0))
+    pipe.run(synth_sequences(spark, 6, median_len=400, max_len=800),
+             run_id="r1")
+    t10_before = (pipe.tables["tier10"].read(spark)
+                  .orderBy("doc_id", "bucket").toPandas())
+    report = pipe.compact_tables(target_file_rows=100_000)
+    assert report["tier10"]["files_after"] <= report["tier10"]["files_before"]
+    t10_after = (pipe.tables["tier10"].read(spark)
+                 .orderBy("doc_id", "bucket").toPandas())
+    assert t10_before.shape == t10_after.shape
+    np.testing.assert_allclose(t10_before["y_sum"].to_numpy(),
+                               t10_after["y_sum"].to_numpy(), rtol=0)
+    lin = pipe.tables["lineage"].read(spark)
+    assert lin.filter("stage = 'compact-tier10'").count() >= 1

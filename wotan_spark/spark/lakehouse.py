@@ -148,6 +148,38 @@ class SnapshotTable:
         merged = remaining.unionByName(df)
         return self.overwrite(merged, **meta)
 
+    def compact(self, spark: SparkSession, target_file_rows: int = 1_000_000,
+                cluster_by: str | None = None, **meta) -> int:
+        """Maintenance rewrite (the Iceberg ``rewrite_data_files`` model):
+        bin-pack the current snapshot's many small files into
+        ``ceil(rows / target_file_rows)`` files, optionally RANGE-CLUSTERING
+        on a column first (``repartitionByRange`` + in-file sort) so the
+        per-file min/max stats become disjoint and ``read(where=...)``
+        prunes to O(1) files per range probe.  Data is byte-identical as a
+        multiset; history keeps the fragmented snapshot time-travelable
+        until ``expire_snapshots``.
+
+        At 100 TB this is the operator that keeps streaming/incremental
+        tables healthy: every AvailableNow merge and late-data upsert adds
+        a small-file generation, and scan cost is per-FILE as much as
+        per-byte (task scheduling, footer reads, stats entries).
+        """
+        cur = self.read(spark)
+        if cur is None:
+            raise ValueError("nothing to compact")
+        n_rows = cur.count()
+        n_files = max(1, -(-n_rows // target_file_rows))
+        if cluster_by is not None:
+            from pyspark.sql import functions as F
+            packed = (cur.repartitionByRange(n_files, F.col(cluster_by))
+                      .sortWithinPartitions(cluster_by))
+        else:
+            packed = cur.coalesce(n_files)
+        meta.setdefault("compaction", True)
+        if cluster_by is not None:
+            meta.setdefault("clustered_by", cluster_by)
+        return self.overwrite(packed, **meta)
+
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              where: tuple | None = None) -> DataFrame | None:

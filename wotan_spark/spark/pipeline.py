@@ -205,6 +205,38 @@ class Pipeline:
         return report
 
     # ------------------------------------------------------------------
+    def compact_tables(self, tables: tuple[str, ...] = ("tier10", "tier100"),
+                       target_file_rows: int = 1_000_000,
+                       cluster_by: str | None = "bucket",
+                       run_id: str | None = None) -> dict:
+        """Maintenance compaction across tier tables (Iceberg
+        rewrite_data_files model): bin-pack the small-file generations left
+        by streaming merges and incremental upserts, range-clustering on
+        the bucket column so retention scans and range probes prune whole
+        files.  Emits a lineage row per rewritten file like any stage."""
+        run_id = run_id or f"compact-{int(time.time())}"
+        report: dict[str, dict] = {}
+        for name in tables:
+            table = self.tables[name]
+            if table.current_snapshot_id() is None:
+                continue
+            before = len(table.data_files())
+            t0 = time.time()
+            sid = table.compact(self.spark, target_file_rows=target_file_rows,
+                                cluster_by=cluster_by, run_id=run_id)
+            wall = time.time() - t0
+            rows = _file_lineage(table, sid, None, run_id,
+                                 f"compact-{name}", wall)
+            if rows:
+                self.tables["lineage"].append(
+                    self.spark.createDataFrame(rows),
+                    stage=f"compact-{name}", run_id=run_id)
+            report[name] = {"files_before": before,
+                            "files_after": len(table.data_files()),
+                            "snapshot_id": sid}
+        return report
+
+    # ------------------------------------------------------------------
     def _retention_cutoff(self, name: str) -> int | None:
         from wotan_spark.spark.retention import retention_cutoff
         return retention_cutoff(self.tables[name])
