@@ -89,3 +89,37 @@ def test_pq_topk_recall_vs_brute(spark):
         key = (r.query_id, r.neighbor_id)
         if key in brute_all:
             assert abs(brute_all[key] - r.cos_sim) < 1e-9
+
+
+def test_asof_join_property_vs_pandas(spark):
+    """Randomized parity vs pandas merge_asof (backward, ties included,
+    inclusive tolerance) across duplicate left times, empty keys, and
+    key-disjoint sides."""
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        nl, nr = rng.randint(5, 60), rng.randint(0, 40)
+        lk = rng.choice(list("abcd"), nl)
+        rk = rng.choice(list("abce"), max(nr, 1))[:nr]
+        l = pd.DataFrame({"k": lk, "t": rng.randint(0, 50, nl),
+                          "v": rng.randn(nl)})
+        r = pd.DataFrame({"k": rk, "rt": rng.randint(0, 50, nr),
+                          "p": rng.randn(nr)})
+        r = r.drop_duplicates(["k", "rt"])  # unique right (key, time)
+        tol = int(rng.randint(1, 20)) if trial % 2 else None
+        want = pd.merge_asof(
+            l.sort_values("t", kind="stable"), r.sort_values("rt"),
+            left_on="t", right_on="rt", by="k",
+            tolerance=tol, direction="backward")
+        got = asof_join(
+            spark.createDataFrame(l), spark.createDataFrame(r),
+            on="k", left_time="t", right_time="rt",
+            tolerance=tol).toPandas()
+        key = ["k", "t", "v"]
+        want = want.sort_values(key).reset_index(drop=True)
+        got = got.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        a = got["p_asof"].to_numpy(dtype=float)
+        b = want["p"].to_numpy(dtype=float)
+        ok = np.isclose(a, b) | (np.isnan(a) & np.isnan(b))
+        assert ok.all(), (trial, got[~ok], want[~ok])

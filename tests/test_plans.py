@@ -175,3 +175,13 @@ def test_spread_skips_shuffle_when_parallelism_sufficient(spark):
     out = _spread(narrow)
     assert out is not narrow
     assert out.rdd.getNumPartitions() == n
+
+
+def test_pq_topk_avoids_cross_join(spark):
+    """The PQ candidate pass must stay a single scan of the code column +
+    partial top-k — no cartesian/cross join with the query set."""
+    from wotan_spark.spark.datapipe import cosine_topk_pq
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = cosine_topk_pq(emb, [0, 1, 2], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
