@@ -60,8 +60,13 @@ def main() -> None:
     reps = int(os.environ.get("WOTAN_REFLOAD_REPS", "2"))
     out: dict[str, dict] = {}
     total = 0.0
-    for m in METHODS:
-        n = CAPS.get(m, N_FULL)
+    # *_masked lines exercise the ragged slider path (mask sentinel-drops
+    # ~10% of points from every window, so window contents differ per
+    # center) — per-window Python before round 3, kept-length regrouped
+    # vectorization since
+    for m in METHODS + ["biweight_masked", "hampel_masked"]:
+        base = m.removesuffix("_masked")
+        n = CAPS.get(base, N_FULL)
         t, y = series(n)
         kwargs: dict = {"window_length": 0.5}
         if m.startswith("gp_"):
@@ -72,7 +77,11 @@ def main() -> None:
             # cadence-count window for the filter methods (docs/Usage.rst)
             kwargs = {"method": m, "window_length": 31}
         else:
-            kwargs["method"] = m
+            kwargs["method"] = base
+        if m.endswith("_masked"):
+            mask = np.zeros(n, dtype=bool)
+            mask[::10] = True                 # reference convention:
+            kwargs["mask"] = mask             # True = exclude from fits
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
