@@ -301,3 +301,48 @@ def test_streaming_running_stats_v2_transform_with_state(spark, tmp_path):
     assert (a.n, a.last_t, a.n_segments) == (8, 100, 2)
     assert a.y_sum == 36.0 and (a.y_min, a.y_max) == (1.0, 8.0)
     assert (b.n, b.last_t, b.n_segments) == (4, 3, 1)
+
+
+def test_streaming_enrichment_tracks_latest_tier_snapshot(spark, tmp_path):
+    """Each enrichment micro-batch must read the tier table's CURRENT
+    snapshot: after the tier advances between drains, new points are
+    enriched with the fresh bucket mean while already-enriched rows are
+    immutable, and every output snapshot records which tier snapshot it
+    read."""
+    import pyspark.sql.functions as F
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    from wotan_spark.spark.streaming import run_enrichment
+
+    landing = str(tmp_path / "points")
+    tier_root = str(tmp_path / "tier10")
+    out_root = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+
+    tier = SnapshotTable(tier_root)
+    sid1 = tier.overwrite(spark.createDataFrame(
+        [("d1", 0, 10.0)], "doc_id string, bucket long, y_mean double"))
+
+    # batch 1: t=15 -> bucket 0 completed at t=10, mean 10.0
+    spark.createDataFrame([("d1", 15, 1.0)], "doc_id string, t long, y double") \
+        .write.mode("overwrite").parquet(landing)
+    run_enrichment(spark, landing, tier_root, out_root, ckpt,
+                   bucket_width=10, tolerance_buckets=3)
+    out = SnapshotTable(out_root)
+    got1 = {(r.doc_id, r.t): r.y_mean_asof for r in out.read(spark).collect()}
+    assert got1 == {("d1", 15): 10.0}
+
+    # tier advances (bucket 1 committed), a new point lands
+    sid2 = tier.merge_buckets(spark, spark.createDataFrame(
+        [("d1", 1, 20.0)], "doc_id string, bucket long, y_mean double"),
+        keys=["doc_id", "bucket"])
+    spark.createDataFrame([("d1", 25, 2.0)], "doc_id string, t long, y double") \
+        .write.mode("append").parquet(landing)
+    run_enrichment(spark, landing, tier_root, out_root, ckpt,
+                   bucket_width=10, tolerance_buckets=3)
+    rows = out.read(spark).collect()
+    got2 = {(r.doc_id, r.t): r.y_mean_asof for r in rows}
+    # new point sees the fresh bucket-1 mean; the old row is unchanged
+    assert got2 == {("d1", 15): 10.0, ("d1", 25): 20.0}
+    # snapshot stamps record which tier snapshot each batch read
+    sids = [m["meta"].get("tier_snapshot") for m in out.snapshots()]
+    assert sids == [sid1, sid2]

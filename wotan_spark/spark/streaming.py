@@ -77,6 +77,62 @@ POINTS_SCHEMA = StructType([
     StructField("y", DoubleType(), False),
 ])
 
+
+def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
+                   out_root: str, checkpoint_dir: str,
+                   bucket_width: int = 10,
+                   tolerance_buckets: int | None = 3):
+    """Streaming point-in-time enrichment: each micro-batch of raw points
+    is as-of joined against the LATEST tier-10 snapshot — every point gets
+    the mean of its doc's freshest COMPLETED bucket — and appended to an
+    output table stamped with the tier snapshot it read.
+
+    This is the consumption side of the continuous-aggregate loop: the
+    ingestion sink keeps the tier table moving, and because ``foreachBatch``
+    re-resolves the snapshot HEAD per batch, enrichment always reflects the
+    newest committed rollup with snapshot isolation (a batch never sees a
+    half-written tier).  The as-of join is the union-sort single-exchange
+    plan (spark/joins.py), so the per-batch cost is one small shuffle of
+    |batch| + |tier| rows on doc_id.  At scale, prune the tier side first
+    (``SnapshotTable.read(where=...)`` on the batch's bucket range) so the
+    right side is days, not history.
+    """
+    import pyspark.sql.functions as F
+
+    from wotan_spark.spark.joins import asof_join
+
+    tier_table = SnapshotTable(tier_root)
+    out_table = SnapshotTable(out_root)
+    stream = (spark.readStream.schema(POINTS_SCHEMA)
+              .format("parquet").load(landing_dir))
+    tol = (tolerance_buckets * bucket_width
+           if tolerance_buckets is not None else None)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sid = tier_table.current_snapshot_id()
+        tier = tier_table.read(spark)
+        if tier is None:
+            enriched = batch_df.withColumn(
+                "y_mean_asof", F.lit(None).cast("double"))
+        else:
+            right = tier.select(
+                "doc_id",
+                ((F.col("bucket") + 1) * bucket_width).alias("t_end"),
+                "y_mean")
+            enriched = asof_join(batch_df, right, on="doc_id",
+                                 left_time="t", right_time="t_end",
+                                 tolerance=tol)
+        out_table.append(enriched, stream_batch=batch_id,
+                         tier_snapshot=sid)
+
+    q = (stream.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
 TS_POINTS_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
     StructField("ts", TimestampType(), False),
