@@ -884,6 +884,15 @@ def q_asof_enrich(spark, sf_dir):
                       F.round("y_mean_asof", 6).alias("prev_hour_mean"))
 
 
+def q_cosine_topk_lsh(spark, sf_dir):
+    """ANN scale path #2: random-hyperplane LSH buckets + exact in-bucket
+    rerank.  Seeded-deterministic planes, so pinned like IVF/PQ — the full
+    ANN trio (LSH / IVF / PQ) is value-checked by the driver."""
+    from wotan_spark.spark.datapipe import cosine_topk_lsh
+    return cosine_topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
+                           k=3, n_planes=6, n_tables=3)
+
+
 def q_cosine_topk_pq(spark, sf_dir):
     """Third ANN scale path: product-quantization codes + ADC lookup-table
     scoring, exact rerank of the approximate top candidates.  Deterministic
@@ -1005,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_components": _wrap(q_embedding_dedup_components),
         "asof_enrich": _wrap(q_asof_enrich),
         "cosine_topk_pq": _wrap(q_cosine_topk_pq),
+        "cosine_topk_lsh": _wrap(q_cosine_topk_lsh),
     }
 
 
@@ -2247,7 +2257,8 @@ def oracle_sql() -> dict[str, str]:
     # no rows-only queries remain in the contract
     import json as _json
     for _qname, _pin in (("cosine_topk_ivf", "pins_ivf_sf0.01.json"),
-                         ("cosine_topk_pq", "pins_pq_sf0.01.json")):
+                         ("cosine_topk_pq", "pins_pq_sf0.01.json"),
+                         ("cosine_topk_lsh", "pins_lsh_sf0.01.json")):
         try:
             with open(os.path.join(_data, _pin)) as _f:
                 _ann = _json.load(_f)

@@ -31,7 +31,8 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 ANN_PINS = {"cosine_topk_ivf": "pins_ivf_sf0.01.json",
-            "cosine_topk_pq": "pins_pq_sf0.01.json"}
+            "cosine_topk_pq": "pins_pq_sf0.01.json",
+            "cosine_topk_lsh": "pins_lsh_sf0.01.json"}
 
 
 def main() -> None:
