@@ -92,12 +92,12 @@ def test_pq_topk_recall_vs_brute(spark):
 
 
 def test_asof_join_property_vs_pandas(spark):
-    """Randomized parity vs pandas merge_asof (backward, ties included,
-    inclusive tolerance) across duplicate left times, empty keys, and
-    key-disjoint sides."""
+    """Randomized parity vs pandas merge_asof across all three directions
+    (ties included, inclusive tolerance, nearest's backward tie-break),
+    duplicate left times, empty keys, and key-disjoint sides."""
     import pandas as pd
     rng = np.random.RandomState(7)
-    for trial in range(6):
+    for trial in range(9):
         nl, nr = rng.randint(5, 60), rng.randint(0, 40)
         lk = rng.choice(list("abcd"), nl)
         rk = rng.choice(list("abce"), max(nr, 1))[:nr]
@@ -107,14 +107,15 @@ def test_asof_join_property_vs_pandas(spark):
                           "p": rng.randn(nr)})
         r = r.drop_duplicates(["k", "rt"])  # unique right (key, time)
         tol = int(rng.randint(1, 20)) if trial % 2 else None
+        direction = ["backward", "forward", "nearest"][trial % 3]
         want = pd.merge_asof(
             l.sort_values("t", kind="stable"), r.sort_values("rt"),
             left_on="t", right_on="rt", by="k",
-            tolerance=tol, direction="backward")
+            tolerance=tol, direction=direction)
         got = asof_join(
             spark.createDataFrame(l), spark.createDataFrame(r),
             on="k", left_time="t", right_time="rt",
-            tolerance=tol).toPandas()
+            tolerance=tol, direction=direction).toPandas()
         key = ["k", "t", "v"]
         want = want.sort_values(key).reset_index(drop=True)
         got = got.sort_values(key).reset_index(drop=True)

@@ -1,4 +1,4 @@
-"""Time-series joins: as-of (nearest-past alignment) over co-partitioned keys.
+"""Time-series joins: as-of (nearest-in-time alignment) over co-partitioned keys.
 
 The reference library has no joins (SURVEY.md §2.5 — its only join-like
 operation is the positional trend transplant), but a rollup engine over
@@ -11,11 +11,12 @@ scale-killers: a theta-join (``l.t >= r.t``) explodes into a broadcast
 nested loop, and a per-key ``max(r.t)`` correlated subquery shuffles twice.
 ``asof_join`` instead uses the union-sort formulation: tag both inputs,
 union them, and run ONE window pass per key ordered by time — the right
-side's payload is forward-filled onto left rows via
-``last(..., ignoreNulls=True)``.  Cost at scale: a single hash exchange of
-|L| + |R| rows on the join keys (AQE-sizable), one sort within partitions,
-zero joins — the same shape as the engine's segmentation and gap-fill
-windows, so a co-partitioned input (bucketed tables) runs shuffle-free.
+side's payload is filled onto left rows via RANGE-framed
+``last/first(..., ignoreNulls=True)``.  Cost at scale: a single hash
+exchange of |L| + |R| rows on the join keys (AQE-sizable), one sort within
+partitions, zero joins — the same shape as the engine's segmentation and
+gap-fill windows, so a co-partitioned input (bucketed tables) runs
+shuffle-free.
 """
 
 from __future__ import annotations
@@ -27,15 +28,29 @@ from pyspark.sql import DataFrame, Window
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_time: str, right_time: str,
               tolerance: float | int | None = None,
+              direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:
-    """For every left row, attach the payload of the latest right row with
-    ``right.t <= left.t`` within the same key group (backward as-of join,
-    ties included).  Right payload columns are suffixed; left rows with no
-    past right row (or none within ``tolerance``) get NULL payload.
+    """For every left row, attach the payload of the right row nearest in
+    time within the same key group (pandas ``merge_asof`` semantics, exact
+    matches included):
 
-    ``on`` — equality key column(s) shared by both sides;
-    ``tolerance`` — optional max allowed ``left_t - right_t`` staleness.
+    * ``backward`` — latest right with ``rt <= t`` (default);
+    * ``forward`` — earliest right with ``rt >= t``;
+    * ``nearest`` — whichever of the two is closer (backward wins ties).
+
+    Right payload columns come back suffixed; left rows with no candidate
+    (or none within ``tolerance`` absolute distance) get NULL payload.
+    ``on`` — equality key column(s); right (key, time) pairs are assumed
+    unique (true for bucketed tier tables; duplicates would make the
+    chosen payload ambiguous).
+
+    The RANGE window frames over the single time ordering include every
+    right row at the exact left timestamp regardless of intra-instant sort
+    position, so exact matches are deterministic without a secondary sort
+    key.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys + [right_time]]
     carry = [c for c in left.columns if c not in keys + [left_time]]
@@ -45,38 +60,61 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in carry],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
           for c in payload],
-        F.lit(None).cast(right.schema[right_time].dataType)
-        .alias(f"__rt{suffix}"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__prt"),
     )
     rt = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
-        F.col(right_time).alias(f"__rt{suffix}"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.col(right_time).alias("__prt"),
     )
-    # at equal timestamps the right row must be visible to the left row:
-    # order right (0) before left (1) within each instant
-    w = (Window.partitionBy(*keys).orderBy("__t", "__is_left")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-              .alias(f"{c}{suffix}") for c in payload]
-    rt_fill = F.last(f"__rt{suffix}", ignorenulls=True).over(w)
+    base = Window.partitionBy(*keys).orderBy("__t")
+    wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
 
-    out = (lt.unionByName(rt)
-           .select(*keys, "__t", "__is_left", *carry, *filled,
-                   rt_fill.alias("__rt"))
-           .filter(F.col("__is_left") == 1))
-    if tolerance is not None:
-        stale = (F.col("__rt").isNull()
-                 | (F.col("__t") - F.col("__rt") > F.lit(tolerance)))
-        out = out.select(
-            *keys, "__t", *carry,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}"))
-              .alias(f"{c}{suffix}") for c in payload])
+    want_b = direction in ("backward", "nearest")
+    want_f = direction in ("forward", "nearest")
+    fills = []
+    if want_b:
+        fills += [F.last(f"__p_{c}", ignorenulls=True).over(wb)
+                  .alias(f"__b_{c}") for c in payload]
+        fills.append(F.last("__prt", ignorenulls=True).over(wb)
+                     .alias("__bt"))
+    if want_f:
+        fills += [F.first(f"__p_{c}", ignorenulls=True).over(wf)
+                  .alias(f"__f_{c}") for c in payload]
+        fills.append(F.first("__prt", ignorenulls=True).over(wf)
+                     .alias("__ft"))
+
+    u = (lt.unionByName(rt)
+         .select(*keys, "__t", "__is_left", *carry, *fills)
+         .filter(F.col("__is_left") == 1))
+
+    def _bad(rt_col: str, dist: F.Column) -> F.Column:
+        bad = F.col(rt_col).isNull()
+        if tolerance is not None:
+            bad = bad | (dist > F.lit(tolerance))
+        return bad
+
+    if direction == "backward":
+        bad = _bad("__bt", F.col("__t") - F.col("__bt"))
+        sel = [F.when(~bad, F.col(f"__b_{c}")).alias(f"{c}{suffix}")
+               for c in payload]
+    elif direction == "forward":
+        bad = _bad("__ft", F.col("__ft") - F.col("__t"))
+        sel = [F.when(~bad, F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+               for c in payload]
     else:
-        out = out.drop("__is_left", "__rt")
-    return out.withColumnRenamed("__t", left_time)
+        bad_b = _bad("__bt", F.col("__t") - F.col("__bt"))
+        bad_f = _bad("__ft", F.col("__ft") - F.col("__t"))
+        use_b = ~bad_b & (bad_f | ((F.col("__t") - F.col("__bt"))
+                                   <= (F.col("__ft") - F.col("__t"))))
+        sel = [F.when(use_b, F.col(f"__b_{c}"))
+               .otherwise(F.when(~bad_f, F.col(f"__f_{c}")))
+               .alias(f"{c}{suffix}") for c in payload]
+
+    return (u.select(*keys, F.col("__t").alias(left_time), *carry, *sel))
