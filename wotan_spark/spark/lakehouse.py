@@ -182,11 +182,14 @@ class SnapshotTable:
 
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
-             where: tuple | None = None) -> DataFrame | None:
+             where: tuple | None = None,
+             merge_schema: bool = False) -> DataFrame | None:
         """Read a snapshot.  ``where=(col, lo, hi)`` prunes whole data files
         whose manifest min/max stats cannot overlap [lo, hi] — the Iceberg
         scan-pruning model — and applies the residual filter (so results are
-        exact even where stats were absent)."""
+        exact even where stats were absent).  ``merge_schema=True`` unions
+        the file schemas (schema-evolution reads: columns appended by later
+        commits come back NULL for older files)."""
         sid = snapshot_id if snapshot_id is not None \
             else self.current_snapshot_id()
         if sid is None:
@@ -195,7 +198,10 @@ class SnapshotTable:
         if not dirs:
             return None
         if where is None:
-            return spark.read.parquet(*dirs)
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*dirs)
         col, lo, hi = where
         paths, pruned = [], 0
         for d in dirs:
@@ -215,6 +221,40 @@ class SnapshotTable:
         from pyspark.sql import functions as F
         return (spark.read.parquet(*paths)
                 .filter(F.col(col).between(lo, hi)))
+
+    def read_incremental(self, spark: SparkSession, since_snapshot_id: int,
+                         snapshot_id: int | None = None) -> DataFrame | None:
+        """Incremental scan (the Iceberg incremental-read model): the rows
+        ADDED between ``since_snapshot_id`` (exclusive) and ``snapshot_id``
+        (default HEAD) — exactly the data-dir set difference, so a
+        downstream consumer processes only new files instead of rescanning
+        the table.  Raises if any commit in the range was not an append
+        (overwrite/retention/compaction rewrite history, so "added rows"
+        is no longer the file-set difference — rescan instead)."""
+        end = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot_id()
+        if end is None or end == since_snapshot_id:
+            return None
+        base = set(self._manifest(since_snapshot_id)["files"])
+        chain = []
+        sid = end
+        while sid is not None and sid != since_snapshot_id:
+            chain.append(self._manifest(sid))
+            sid = chain[-1].get("parent")
+        if sid is None:
+            raise ValueError(
+                f"snapshot {since_snapshot_id} is not an ancestor of {end}")
+        for m in chain:
+            if not base <= set(m["files"]):
+                raise ValueError(
+                    f"snapshot {m['snapshot_id']} rewrote history "
+                    f"(overwrite/retention/compaction); incremental read "
+                    f"is append-only — rescan the table")
+        new_dirs = [d for d in self._manifest(end)["files"]
+                    if d not in base]
+        if not new_dirs:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
     def _load_stats(self, d: str) -> dict | None:
         try:
