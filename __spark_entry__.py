@@ -513,14 +513,35 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+# Approximate-ANN contract config, shared with scripts/gen_ivf_pins.py
+# (single source of truth for the query params, the pin-file names, and the
+# datapipe entry points — the generator re-runs with k+1 to measure the
+# pin-membership boundary margin).
+ANN_PINS = {"cosine_topk_ivf": "pins_ivf_sf0.01.json",
+            "cosine_topk_pq": "pins_pq_sf0.01.json",
+            "cosine_topk_lsh": "pins_lsh_sf0.01.json"}
+ANN_QUERY_PARAMS = {
+    "cosine_topk_ivf": {"query_ids": [0, 1, 2, 3, 4], "k": 3,
+                        "n_centroids": 8, "nprobe": 4},
+    "cosine_topk_pq": {"query_ids": [0, 1, 2, 3, 4], "k": 3, "m": 8,
+                       "n_centroids": 16, "rerank": 32},
+    "cosine_topk_lsh": {"query_ids": [0, 1, 2, 3, 4], "k": 3,
+                        "n_planes": 6, "n_tables": 3},
+}
+
+
+def _ann_func(name: str):
+    from wotan_spark.spark import datapipe
+    return getattr(datapipe, name)
+
+
 def q_cosine_topk_ivf(spark, sf_dir):
     """ANN scale path: IVF coarse-quantizer cells + nprobe exact rerank.
     Approximate but deterministic (fixed seed), so its recall-tested output
     (>=0.8 vs brute force, tests/test_datapipe_extra.py) is pinned as a
     VALUES oracle by scripts/gen_ivf_pins.py."""
-    from wotan_spark.spark.datapipe import cosine_topk_ivf
-    return cosine_topk_ivf(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
-                           k=3, n_centroids=8, nprobe=4)
+    return _ann_func("cosine_topk_ivf")(
+        _emb(spark, sf_dir), **ANN_QUERY_PARAMS["cosine_topk_ivf"])
 
 
 def q_embedding_dedup_components(spark, sf_dir):
@@ -888,9 +909,8 @@ def q_cosine_topk_lsh(spark, sf_dir):
     """ANN scale path #2: random-hyperplane LSH buckets + exact in-bucket
     rerank.  Seeded-deterministic planes, so pinned like IVF/PQ — the full
     ANN trio (LSH / IVF / PQ) is value-checked by the driver."""
-    from wotan_spark.spark.datapipe import cosine_topk_lsh
-    return cosine_topk_lsh(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
-                           k=3, n_planes=6, n_tables=3)
+    return _ann_func("cosine_topk_lsh")(
+        _emb(spark, sf_dir), **ANN_QUERY_PARAMS["cosine_topk_lsh"])
 
 
 def q_cosine_topk_pq(spark, sf_dir):
@@ -898,9 +918,8 @@ def q_cosine_topk_pq(spark, sf_dir):
     scoring, exact rerank of the approximate top candidates.  Deterministic
     (fixed-seed codebooks), so its recall-tested output is pinned as a
     VALUES oracle by scripts/gen_ivf_pins.py — same pattern as IVF."""
-    from wotan_spark.spark.datapipe import cosine_topk_pq
-    return cosine_topk_pq(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
-                          k=3, m=8, n_centroids=16, rerank=32)
+    return _ann_func("cosine_topk_pq")(
+        _emb(spark, sf_dir), **ANN_QUERY_PARAMS["cosine_topk_pq"])
 
 
 def _wrap(fn):
@@ -2256,9 +2275,7 @@ def oracle_sql() -> dict[str, str]:
     # their recall-tested outputs are pinned by scripts/gen_ivf_pins.py —
     # no rows-only queries remain in the contract
     import json as _json
-    for _qname, _pin in (("cosine_topk_ivf", "pins_ivf_sf0.01.json"),
-                         ("cosine_topk_pq", "pins_pq_sf0.01.json"),
-                         ("cosine_topk_lsh", "pins_lsh_sf0.01.json")):
+    for _qname, _pin in ANN_PINS.items():
         try:
             with open(os.path.join(_data, _pin)) as _f:
                 _ann = _json.load(_f)

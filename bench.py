@@ -70,7 +70,11 @@ def main() -> None:
             q[name](spark, sf_dir).count()
             samples.append(round(time.perf_counter() - t0, 3))
         rep_samples[name] = samples
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # statistics.median averages the middle pair for even rep counts
+        # (indexing the upper-middle would report a max as a "median" at
+        # reps=2)
+        import statistics
+        timings[name] = round(statistics.median(samples), 3)
 
     # synthesized tokenized corpus: fused detrend+tier10 -> tier100 cascade
     n_docs = int(os.environ.get("WOTAN_BENCH_DOCS", max(int(sf * 20000), 200)))

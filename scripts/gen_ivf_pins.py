@@ -1,20 +1,23 @@
 #!/usr/bin/env python
-"""Generate the pinned-golden oracle table for ``cosine_topk_ivf``.
+"""Generate pinned-golden oracle tables for the approximate-ANN queries.
 
-The IVF path is approximate by design (it probes ``nprobe`` coarse cells
-instead of the full corpus), so no SQL twin can reproduce it — but with a
-fixed k-means seed and a deterministic ``orderBy(vec_id).limit`` training
-sample, its output on fixed data is fully deterministic.  This script runs
-the recall-tested query (tests/test_datapipe_extra.py proves >=0.8 recall
-vs brute force) once on the driver testdata and pins the exact
-(query_id, neighbor_id, rank, cos_sim) rows, turning the last rows-only
-contract entry into a real values oracle.
+The ANN paths (LSH buckets, IVF cells, PQ codes) are approximate by design
+— no SQL twin can reproduce them — but with fixed seeds and deterministic
+training samples their outputs on fixed data are fully deterministic.
+This script runs each recall-tested query (tests/test_datapipe_extra.py /
+test_joins_pq.py prove recall vs brute force) once on the driver testdata
+and pins the exact (query_id, neighbor_id, rank, cos_sim) rows, so every
+ANN contract entry has a real values oracle.
 
-The smallest rank-adjacent similarity gap is printed as a determinism
-margin — orders of magnitude above float64 dot-product jitter, so the
-pinned ranking is stable across BLAS threading configurations.
+The query params come from ``__spark_entry__.ANN_QUERY_PARAMS`` (single
+source of truth with the contract queries); each run uses k+1 so the
+printed determinism margins cover the boundary that actually decides pin
+membership: the similarity gap between the pinned rank-k row and the first
+EXCLUDED candidate, alongside the adjacent-rank gaps.  Both must stay
+orders of magnitude above float64 dot-product jitter for the pins to be
+stable across BLAS threading configurations.
 
-Usage: python scripts/gen_ivf_pins.py
+Usage: python scripts/gen_ivf_pins.py [query_name ...]   (default: all)
 """
 
 from __future__ import annotations
@@ -30,36 +33,44 @@ if REPO not in sys.path:
 SF_DIR = "/root/testdata/sf0.01"
 
 
-ANN_PINS = {"cosine_topk_ivf": "pins_ivf_sf0.01.json",
-            "cosine_topk_pq": "pins_pq_sf0.01.json",
-            "cosine_topk_lsh": "pins_lsh_sf0.01.json"}
-
-
 def main() -> None:
     from wotan_spark.spark.session import get_spark
-    import __spark_entry__ as entry
+    from __spark_entry__ import ANN_PINS, ANN_QUERY_PARAMS, _ann_func
 
     keys = sys.argv[1:] or list(ANN_PINS)
     spark = get_spark(app_name="gen-ann-pins", cores=4, shuffle_partitions=8)
     try:
         for key in keys:
-            rows = (entry.queries()[key](spark, SF_DIR)
+            params = dict(ANN_QUERY_PARAMS[key])
+            k = params["k"]
+            params["k"] = k + 1       # one extra rank: boundary margin
+            emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            rows = (_ann_func(key)(emb, **params)
                     .orderBy("query_id", "rank").collect())
             out = [{"query_id": r.query_id, "neighbor_id": r.neighbor_id,
-                    "rank": r.rank, "cos_sim": r.cos_sim} for r in rows]
+                    "rank": r.rank, "cos_sim": r.cos_sim}
+                   for r in rows if r.rank <= k]
             path = os.path.join(REPO, "wotan_spark", "data", ANN_PINS[key])
             with open(path, "w") as f:
                 json.dump(out, f, indent=0)
-            gaps = []
+            adj_gaps, boundary_gaps = [], []
             by_q: dict[int, list] = {}
-            for r in out:
-                by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
-            for sims in by_q.values():
-                gaps += [abs(a - b) for a, b in zip(sims, sims[1:])
-                         if a != b]
+            for r in rows:
+                by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+            for ranked in by_q.values():
+                ranked.sort()
+                sims = [s for _, s in ranked]
+                adj_gaps += [abs(a - b) for a, b in
+                             zip(sims[:k], sims[1:k]) if a != b]
+                if len(sims) > k and sims[k - 1] != sims[k]:
+                    boundary_gaps.append(abs(sims[k - 1] - sims[k]))
             print(f"{key}: {len(out)} rows pinned to {path}; "
-                  + (f"min nonzero rank gap: {min(gaps):.3g}" if gaps
-                     else "no gaps"))
+                  f"min adjacent-rank gap "
+                  f"{min(adj_gaps):.3g}; " if adj_gaps else "no rank gaps; ",
+                  end="")
+            print(f"min rank-{k} vs rank-{k + 1} (pin boundary) gap "
+                  f"{min(boundary_gaps):.3g}" if boundary_gaps
+                  else "no boundary candidates")
     finally:
         spark.stop()
 

@@ -42,9 +42,9 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable checkpoint dir for iterative operators "
-                         "(HDFS/S3 on a cluster); defaults to "
-                         "<root>/_checkpoints when --input/--root are "
-                         "cluster paths — omit to keep localCheckpoint")
+                         "(HDFS/S3 on a cluster); ALWAYS set this on a "
+                         "real cluster — omitted means localCheckpoint, "
+                         "which does not survive executor loss")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -45,6 +45,25 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert out[("a", 1, 10.0)] == 100.0      # 1 - 0 = 1 <= 3
 
 
+def test_asof_join_null_payload_in_matched_row_stays_null(spark):
+    """A NULL payload VALUE inside the matched right row must come back
+    NULL — per-column ignoreNulls fills would stitch in a staler row's
+    value and check tolerance against a different row's timestamp
+    (pandas merge_asof returns the matched row as-is)."""
+    left = spark.createDataFrame([("a", 2, 1.0)], "k string, t long, v double")
+    right = spark.createDataFrame(
+        [("a", 0, 5.0, 50.0), ("a", 1, None, 51.0)],
+        "k string, rt long, p double, q double")
+    row = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    tolerance=1).collect()[0]
+    # matched row is rt=1 (within tolerance): its NULL p stays NULL and its
+    # q comes through — nothing is stitched from the stale rt=0 row
+    assert row.p_asof is None and row.q_asof == 51.0
+    row2 = asof_join(left, right, on="k", left_time="t",
+                     right_time="rt").collect()[0]
+    assert row2.p_asof is None and row2.q_asof == 51.0
+
+
 def test_asof_join_plan_has_single_exchange_no_join(spark):
     """The union-sort formulation must not degrade into a join operator —
     one hash exchange on the keys, one window sort, zero joins."""

@@ -55,66 +55,67 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     payload = [c for c in right.columns if c not in keys + [right_time]]
     carry = [c for c in left.columns if c not in keys + [left_time]]
 
+    # the match is filled as ONE struct (timestamp + all payload columns),
+    # not column-by-column: independent last/first(ignoreNulls) fills
+    # would skip a NULL payload VALUE in the matched row and stitch in a
+    # staler row's value (and could pair a payload with a different row's
+    # timestamp for the tolerance check).  A struct is non-null exactly
+    # when the row is a right row, so the fill lands on whole rows.
+    from pyspark.sql.types import StructField, StructType
+    m_type = StructType(
+        [StructField("rt", right.schema[right_time].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload])
+
     lt = left.select(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in carry],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-          for c in payload],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__prt"),
+        F.lit(None).cast(m_type).alias("__m"),
     )
     rt = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-        F.col(right_time).alias("__prt"),
+        F.struct(F.col(right_time).alias("rt"),
+                 *[F.col(c) for c in payload]).alias("__m"),
     )
     base = Window.partitionBy(*keys).orderBy("__t")
     wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
 
-    want_b = direction in ("backward", "nearest")
-    want_f = direction in ("forward", "nearest")
     fills = []
-    if want_b:
-        fills += [F.last(f"__p_{c}", ignorenulls=True).over(wb)
-                  .alias(f"__b_{c}") for c in payload]
-        fills.append(F.last("__prt", ignorenulls=True).over(wb)
-                     .alias("__bt"))
-    if want_f:
-        fills += [F.first(f"__p_{c}", ignorenulls=True).over(wf)
-                  .alias(f"__f_{c}") for c in payload]
-        fills.append(F.first("__prt", ignorenulls=True).over(wf)
-                     .alias("__ft"))
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("__m", ignorenulls=True).over(wb).alias("__b"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.first("__m", ignorenulls=True).over(wf).alias("__f"))
 
     u = (lt.unionByName(rt)
          .select(*keys, "__t", "__is_left", *carry, *fills)
          .filter(F.col("__is_left") == 1))
 
-    def _bad(rt_col: str, dist: F.Column) -> F.Column:
-        bad = F.col(rt_col).isNull()
+    def _bad(m: str, dist: F.Column) -> F.Column:
+        bad = F.col(m).isNull()
         if tolerance is not None:
             bad = bad | (dist > F.lit(tolerance))
         return bad
 
     if direction == "backward":
-        bad = _bad("__bt", F.col("__t") - F.col("__bt"))
-        sel = [F.when(~bad, F.col(f"__b_{c}")).alias(f"{c}{suffix}")
+        bad = _bad("__b", F.col("__t") - F.col("__b.rt"))
+        sel = [F.when(~bad, F.col(f"__b.{c}")).alias(f"{c}{suffix}")
                for c in payload]
     elif direction == "forward":
-        bad = _bad("__ft", F.col("__ft") - F.col("__t"))
-        sel = [F.when(~bad, F.col(f"__f_{c}")).alias(f"{c}{suffix}")
+        bad = _bad("__f", F.col("__f.rt") - F.col("__t"))
+        sel = [F.when(~bad, F.col(f"__f.{c}")).alias(f"{c}{suffix}")
                for c in payload]
     else:
-        bad_b = _bad("__bt", F.col("__t") - F.col("__bt"))
-        bad_f = _bad("__ft", F.col("__ft") - F.col("__t"))
-        use_b = ~bad_b & (bad_f | ((F.col("__t") - F.col("__bt"))
-                                   <= (F.col("__ft") - F.col("__t"))))
-        sel = [F.when(use_b, F.col(f"__b_{c}"))
-               .otherwise(F.when(~bad_f, F.col(f"__f_{c}")))
+        bad_b = _bad("__b", F.col("__t") - F.col("__b.rt"))
+        bad_f = _bad("__f", F.col("__f.rt") - F.col("__t"))
+        use_b = ~bad_b & (bad_f | ((F.col("__t") - F.col("__b.rt"))
+                                   <= (F.col("__f.rt") - F.col("__t"))))
+        sel = [F.when(use_b, F.col(f"__b.{c}"))
+               .otherwise(F.when(~bad_f, F.col(f"__f.{c}")))
                .alias(f"{c}{suffix}") for c in payload]
 
     return (u.select(*keys, F.col("__t").alias(left_time), *carry, *sel))

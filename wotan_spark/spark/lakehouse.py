@@ -235,11 +235,22 @@ class SnapshotTable:
             else self.current_snapshot_id()
         if end is None or end == since_snapshot_id:
             return None
-        base = set(self._manifest(since_snapshot_id)["files"])
+        try:
+            base = set(self._manifest(since_snapshot_id)["files"])
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {since_snapshot_id} was expired "
+                f"(expire_snapshots); incremental read impossible — "
+                f"rescan the table") from None
         chain = []
         sid = end
         while sid is not None and sid != since_snapshot_id:
-            chain.append(self._manifest(sid))
+            try:
+                chain.append(self._manifest(sid))
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {sid} in the range was expired "
+                    f"(expire_snapshots); rescan the table") from None
             sid = chain[-1].get("parent")
         if sid is None:
             raise ValueError(

@@ -109,8 +109,12 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
            if tolerance_buckets is not None else None)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # resolve HEAD once and read THAT snapshot: a concurrent ingestion
+        # commit between the two calls would otherwise desynchronize the
+        # recorded tier_snapshot stamp from the data actually joined
         sid = tier_table.current_snapshot_id()
-        tier = tier_table.read(spark)
+        tier = (tier_table.read(spark, snapshot_id=sid)
+                if sid is not None else None)
         if tier is None:
             enriched = batch_df.withColumn(
                 "y_mean_asof", F.lit(None).cast("double"))
