@@ -69,12 +69,18 @@ def main() -> None:
     levels = [int(x) for x in os.environ.get("WOTAN_SCALE_N", "8").split(",")]
     rounds = int(os.environ.get("WOTAN_SCALE_ROUNDS", "3"))
     reps = int(os.environ.get("WOTAN_SCALE_REPS", "2"))
+    # seconds to idle before each round so the 1-min load average sheds the
+    # previous round's own sessions — keeps the pre-round stamp an honest
+    # external-contention reading
+    cooldown = int(os.environ.get("WOTAN_SCALE_COOLDOWN", "0"))
     path = corpus_path(n_docs)
 
     out = {"docs": n_docs, "rounds": []}
     for n in levels:
         effs = []
         for _ in range(rounds):
+            if cooldown:
+                time.sleep(cooldown)
             load_pre = [round(x, 2) for x in os.getloadavg()]
             w_lo = run_level(path, n, reps)
             w_hi = run_level(path, 4 * n, reps)
