@@ -922,6 +922,21 @@ def q_cosine_topk_pq(spark, sf_dir):
         _emb(spark, sf_dir), **ANN_QUERY_PARAMS["cosine_topk_pq"])
 
 
+def q_curation_funnel(spark, sf_dir):
+    """One-call corpus curation funnel (quality -> exact dedup ->
+    decontaminate -> near-dup removal -> stratified sample) with per-stage
+    survivor counts — the composed training-data pipeline as a single
+    operator.  Oracle recomposes every stage in SQL (incl. the recursive
+    component closure) and checks the exact count at each stage."""
+    from wotan_spark.spark.datapipe import curate_corpus
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter((F.col("doc_id") % 50) == 0)
+    _, funnel = curate_corpus(docs, benchmark=bench, min_tokens=50,
+                              fractions={"src0": 0.5, "src1": 0.25},
+                              sample_default=0.1, persist=False)
+    return funnel
+
+
 def _wrap(fn):
     def g(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shipped(spark)
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": _wrap(q_asof_enrich),
         "cosine_topk_pq": _wrap(q_cosine_topk_pq),
         "cosine_topk_lsh": _wrap(q_cosine_topk_lsh),
+        "curation_funnel": _wrap(q_curation_funnel),
     }
 
 
@@ -2287,6 +2303,83 @@ def oracle_sql() -> dict[str, str]:
         sqls[_qname] = (
             f"SELECT query_id, neighbor_id, rank, cos_sim FROM (VALUES "
             f"{_vals}) AS v(query_id, neighbor_id, rank, cos_sim)")
+
+    # curation funnel: every stage of curate_corpus recomposed in SQL over
+    # the same documents table — quality filter, content-hash survivors,
+    # benchmark 5-gram decontamination, 3-gram Jaccard components with the
+    # representative kept, deterministic stratified sample
+    sqls["curation_funnel"] = """
+        WITH RECURSIVE
+        q AS (SELECT * FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 50),
+        keepids AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        d1 AS (SELECT * FROM q
+               WHERE doc_id IN (SELECT doc_id FROM keepids)),
+        bsh AS (SELECT DISTINCT shingle FROM (
+            SELECT unnest(list_distinct(
+                [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4]
+                 for i in generate_series(1, len(w) - 4)])) AS shingle
+            FROM (SELECT string_split(lower(text), ' ') AS w
+                  FROM documents WHERE doc_id % 50 = 0)
+            WHERE len(w) >= 5)),
+        dsh AS (
+            SELECT doc_id, unnest(list_distinct(
+                [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4]
+                 for i in generate_series(1, len(w) - 4)])) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM d1)
+            WHERE len(w) >= 5),
+        bad AS (SELECT DISTINCT doc_id FROM dsh
+                WHERE shingle IN (SELECT shingle FROM bsh)),
+        d2 AS (SELECT * FROM d1
+               WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        s3 AS (
+            SELECT doc_id, unnest(list_distinct(
+                [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)])) AS shingle
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM d2)
+            WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM s3 GROUP BY 1),
+        inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         count(*) AS i
+                  FROM s3 x JOIN s3 y ON x.shingle = y.shingle
+                  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        prs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE i / (sa.n_sh + sb.n_sh - i * 1.0) >= 0.5),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                  UNION SELECT doc_b AS u, doc_a AS v FROM prs),
+        walk AS (
+            SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u AS node, w.lbl FROM walk w
+            JOIN edges e ON e.v = w.node),
+        comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY 1),
+        removed AS (SELECT node AS doc_id FROM comp
+                    WHERE node <> component),
+        d3 AS (SELECT * FROM d2
+               WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+        d4 AS (SELECT * FROM d3 WHERE
+               (('0x' || substr(md5(concat_ws(':', '17', source,
+                                              doc_id::VARCHAR)), 1, 14))
+                ::BIGINT % 1000000) / 1000000.0
+               < CASE WHEN source = 'src0' THEN 0.5
+                      WHEN source = 'src1' THEN 0.25
+                      ELSE 0.1 END)
+        SELECT 0 AS stage_idx, 'input' AS stage,
+               (SELECT count(*) FROM documents)::BIGINT AS n_docs
+        UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q)::BIGINT
+        UNION ALL SELECT 2, 'exact_dedup',
+                  (SELECT count(*) FROM d1)::BIGINT
+        UNION ALL SELECT 3, 'decontaminate',
+                  (SELECT count(*) FROM d2)::BIGINT
+        UNION ALL SELECT 4, 'near_dup', (SELECT count(*) FROM d3)::BIGINT
+        UNION ALL SELECT 5, 'sample', (SELECT count(*) FROM d4)::BIGINT
+    """
 
     sqls["asof_enrich"] = f"""
         WITH ev AS (

@@ -210,3 +210,23 @@ def test_stratified_sample_deterministic_across_partitioning(spark):
              .selectExpr("source", "count / total AS rate").collect()}
     assert abs(rates.get("src0", 0) - 0.5) < 0.2
     assert abs(rates.get("src1", 0) - 0.25) < 0.2
+
+
+def test_curate_corpus_funnel_consistency(spark):
+    """The funnel counts must be monotone non-increasing and the final
+    stage count must equal the kept DataFrame's row count."""
+    import pyspark.sql.functions as F
+    from wotan_spark.spark.datapipe import curate_corpus
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.filter((F.col("doc_id") % 50) == 0)
+    kept, funnel = curate_corpus(docs, benchmark=bench, min_tokens=50,
+                                 fractions={"src0": 0.5, "src1": 0.25},
+                                 sample_default=0.1)
+    rows = sorted(funnel.collect(), key=lambda r: r.stage_idx)
+    names = [r.stage for r in rows]
+    assert names == ["input", "quality", "exact_dedup", "decontaminate",
+                     "near_dup", "sample"]
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] > counts[-1] > 0
+    assert kept.count() == counts[-1]

@@ -754,6 +754,70 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 3,
 
 
 
+def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
+                  min_tokens: int = 50, jaccard_n: int = 3,
+                  jaccard_threshold: float = 0.5,
+                  fractions: dict[str, float] | None = None,
+                  sample_default: float = 0.0, seed: int = 17,
+                  persist: bool = True):
+    """One-call training-corpus curation funnel, composed from the
+    first-class operators in cost order (cheapest cuts first, so each
+    expensive stage sees an already-reduced corpus):
+
+        input -> quality (min token count)
+              -> exact dedup (content-hash survivors, min doc_id kept)
+              -> decontaminate (benchmark 5-gram broadcast probe)
+              -> near-dup removal (PPJoin Jaccard pairs -> components,
+                 component representative kept)
+              -> stratified sample (deterministic hash mixture weights)
+
+    Returns ``(kept, funnel)``: the surviving docs DataFrame and a lazy
+    (stage_idx, stage, n_docs) funnel report.  Intermediate stages are
+    persisted by default so evaluating the funnel (one count per stage)
+    does not recompute the chain per stage; at corpus scale prefer
+    checkpointing each stage to a table (Pipeline-style) instead.
+    """
+    from pyspark import StorageLevel
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = docs.filter(F.size(_words("text")) >= min_tokens)
+    stages.append(("quality", cur))
+
+    keep_ids = (cur.groupBy(F.md5(F.col("text")).alias("fp"))
+                .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    cur = _cut(cur.join(keep_ids, "doc_id", "left_semi"))
+    stages.append(("exact_dedup", cur))
+
+    if benchmark is not None:
+        clean_ids = decontaminate(cur, benchmark)
+        cur = _cut(cur.join(clean_ids, "doc_id", "left_semi"))
+        stages.append(("decontaminate", cur))
+
+    pairs = ngram_jaccard_pairs_prefix(cur, n=jaccard_n,
+                                       threshold=jaccard_threshold)
+    removed = (dedup_components(pairs)
+               .filter(F.col("doc_id") != F.col("component"))
+               .select("doc_id"))
+    cur = _cut(cur.join(removed, "doc_id", "left_anti"))
+    stages.append(("near_dup", cur))
+
+    if fractions is not None:
+        cur = stratified_sample(cur, fractions, seed=seed,
+                                default=sample_default)
+        stages.append(("sample", cur))
+
+    funnel = None
+    for i, (name, df) in enumerate(stages):
+        row = (df.agg(F.count("*").alias("n_docs"))
+               .select(F.lit(i).alias("stage_idx"),
+                       F.lit(name).alias("stage"), "n_docs"))
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return cur, funnel
+
+
 def pq_codebooks(emb: DataFrame, m: int = 8, n_centroids: int = 16,
                  n_iter: int = 8, seed: int = 13, sample: int = 4096):
     """Train product-quantization codebooks: split the (normalized)
