@@ -25,6 +25,20 @@ from wotan_spark.constants import FTOL, MAXITER_HUBER, Z75, gaussian_cdf, gaussi
 _TINY = 1e-10
 
 
+def _median_rows_inplace(A: np.ndarray) -> np.ndarray:
+    """Row medians via in-place partition of a caller-owned scratch matrix
+    — ``np.median`` always copies its input (it must not mutate), which is
+    the dominant allocation inside the per-iteration IRLS scale updates.
+    Bit-identical to ``np.median(A, axis=1)``: same partition network, and
+    the even-length middle pair is averaged with the same (a + b) / 2."""
+    L = A.shape[1]
+    if L % 2:
+        A.partition(L // 2, axis=1)
+        return A[:, L // 2].copy()
+    A.partition((L // 2 - 1, L // 2), axis=1)
+    return (A[:, L // 2 - 1] + A[:, L // 2]) / 2.0
+
+
 # ---------------------------------------------------------------------------
 # Iterated M-estimators: biweight / andrewsinewave / welsch
 # (reference: wotan/location_estimates.py:8-63)
@@ -265,7 +279,8 @@ def huber_location_1d(f: np.ndarray, cval: float,
 # in wotan/norms.py:25-62).
 # ---------------------------------------------------------------------------
 
-def _hampel_weights(z: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+def _hampel_weights(z: np.ndarray, a: float, b: float, c: float,
+                    out: np.ndarray | None = None) -> np.ndarray:
     # piecewise assignment instead of a nested full-array where-chain (the
     # chain evaluates every branch expression over the whole matrix);
     # per-band divisions are the same elementwise IEEE ops, so the weights
@@ -273,7 +288,8 @@ def _hampel_weights(z: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
     # as the where-chain's innermost else did.
     az = np.abs(z)
     az[az == 0.0] = 1e-100
-    w = np.zeros_like(az)
+    w = out if out is not None else np.empty_like(az)
+    w[:] = 0.0
     w[az <= a] = 1.0
     m = (az > a) & (az <= b)
     w[m] = a / az[m]
@@ -284,8 +300,14 @@ def _hampel_weights(z: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
     return w
 
 
-def _ramsay_weights(z: np.ndarray, a: float) -> np.ndarray:
-    return np.exp(-a * np.abs(z))
+def _ramsay_weights(z: np.ndarray, a: float,
+                    out: np.ndarray | None = None) -> np.ndarray:
+    if out is None:
+        return np.exp(-a * np.abs(z))
+    np.abs(z, out=out)
+    np.multiply(out, -a, out=out)    # == (-a) * |z| (commutative, exact)
+    np.exp(out, out=out)
+    return out
 
 
 def huber_location_2d(Fm: np.ndarray, cval: float,
@@ -306,18 +328,28 @@ def huber_location_2d(Fm: np.ndarray, cval: float,
         gamma = tmp + cval ** 2 * (1.0 - tmp) - 2.0 * cval * gaussian_pdf(cval)
         out = np.median(A, axis=1)          # default: Q13 median fallback
         active = np.ones(R, dtype=bool)
+        bufC = np.empty_like(A)
+        bufZ = np.empty_like(A)
         for _ in range(maxiter):
             if not active.any():
                 break
             idx = np.where(active)[0]
+            k = len(idx)
             a = A[idx]
             m = mu[idx]
             s = scale[idx]
-            nmu = np.clip(a, (m - cval * s)[:, None],
-                          (m + cval * s)[:, None]).sum(axis=1) / L
-            subset = np.abs((a - m[:, None]) / s[:, None]) <= cval
+            clipped = np.clip(a, (m - cval * s)[:, None],
+                              (m + cval * s)[:, None], out=bufC[:k])
+            nmu = clipped.sum(axis=1) / L
+            zz = np.subtract(a, m[:, None], out=bufZ[:k])
+            np.divide(zz, s[:, None], out=zz)
+            np.abs(zz, out=zz)
+            subset = zz <= cval
             card = subset.sum(axis=1)
-            num = np.sum(subset * (a - nmu[:, None]) ** 2, axis=1)
+            d = np.subtract(a, nmu[:, None], out=bufC[:k])
+            np.multiply(d, d, out=d)
+            np.multiply(d, subset, out=d)   # == subset * d**2 (commutative)
+            num = np.sum(d, axis=1)
             den = n * gamma - (L - card) * cval ** 2
             nscale = np.sqrt(num / den)
             done = (np.abs(s - nscale) <= nscale * tol) \
@@ -332,34 +364,44 @@ def huber_location_2d(Fm: np.ndarray, cval: float,
 def irls_intercept_2d(Fm: np.ndarray, norm: str, cval,
                       maxiter: int = 50, tol: float = 1e-8) -> np.ndarray:
     """Row-vectorized twin of ``irls_intercept_1d`` (bit-equal per row via
-    freeze-at-exit semantics)."""
+    freeze-at-exit semantics).  The per-iteration matrices live in three
+    scratch buffers (resid/z, |resid| for the in-place partition median,
+    weights) — the loop's cost is memory traffic, not flops, and
+    ``np.median``'s internal copy was the largest single allocation."""
     with np.errstate(all="ignore"):
         A = np.asarray(Fm, dtype=np.float64)
         R, _ = A.shape
         mu = A.mean(axis=1)
         out = mu.copy()
         active = np.ones(R, dtype=bool)
+        bufR = np.empty_like(A)
+        bufS = np.empty_like(A)
+        bufW = np.empty_like(A)
         for _ in range(maxiter):
             if not active.any():
                 break
             idx = np.where(active)[0]
+            k = len(idx)
             a = A[idx]
             m = mu[idx]
-            resid = a - m[:, None]
-            scale = np.median(np.abs(resid), axis=1) / Z75
+            resid = np.subtract(a, m[:, None], out=bufR[:k])
+            np.abs(resid, out=bufS[:k])
+            scale = _median_rows_inplace(bufS[:k]) / Z75
             stop0 = scale == 0.0
             out[idx[stop0]] = m[stop0]
-            z = resid / scale[:, None]
+            z = np.divide(resid, scale[:, None], out=bufR[:k])
             if norm == "hampel":
-                w = _hampel_weights(z, cval[0], cval[1], cval[2])
+                w = _hampel_weights(z, cval[0], cval[1], cval[2],
+                                    out=bufW[:k])
             elif norm == "ramsay":
-                w = _ramsay_weights(z, cval)
+                w = _ramsay_weights(z, cval, out=bufW[:k])
             else:  # pragma: no cover
                 raise ValueError(norm)
             sw = w.sum(axis=1)
             stop_sw = (sw == 0.0) & ~stop0
             out[idx[stop_sw]] = m[stop_sw]
-            nmu = np.sum(w * a, axis=1) / sw
+            wa = np.multiply(w, a, out=bufS[:k])
+            nmu = np.sum(wa, axis=1) / sw
             done = (np.abs(nmu - m)
                     <= tol * np.maximum(1.0, np.abs(nmu))) & ~stop0 & ~stop_sw
             out[idx[done]] = nmu[done]
