@@ -55,6 +55,12 @@ def tune_session(spark: SparkSession) -> None:
                        EXCLUDED_OPTIMIZER_RULES)
     except Exception:
         pass  # conf locked down: plans stay correct, just slower
+    try:
+        # epoch arithmetic in the oracle twins assumes UTC timestamp casts;
+        # a non-UTC host session would shift every unix_micros() vs DuckDB
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
 
 def ensure_shipped(spark: SparkSession) -> None:
