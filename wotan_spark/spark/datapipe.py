@@ -820,11 +820,12 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
 
 def pq_codebooks(emb: DataFrame, m: int = 8, n_centroids: int = 16,
                  n_iter: int = 8, seed: int = 13, sample: int = 4096):
-    """Train product-quantization codebooks: split the (normalized)
-    embedding into ``m`` subspaces and k-means each independently on a
-    deterministic bounded sample.  Returns a ``[m, n_centroids, dim//m]``
-    ndarray.  Same scale profile as ``ivf_centroids``: driver-side on a
-    few thousand rows, broadcast as a few KB."""
+    """Train product-quantization codebooks (Jegou et al., TPAMI 2011 —
+    public literature): split the (normalized) embedding into ``m``
+    subspaces and k-means each independently on a deterministic bounded
+    sample.  Returns a ``[m, n_centroids, dim//m]`` ndarray.  Same scale
+    profile as ``ivf_centroids``: driver-side on a few thousand rows,
+    broadcast as a few KB."""
     import numpy as np
 
     pdf = emb.orderBy("vec_id").limit(sample).select("embedding").toPandas()
