@@ -278,6 +278,23 @@ def dedup_components(pairs: DataFrame, id_a: str = "doc_a",
                          F.col("lbl").alias("component"))
 
 
+def component_survivors(components: DataFrame, scores: DataFrame,
+                        score_col: str = "score") -> DataFrame:
+    """Pick ONE survivor doc per dedup component by a quality score
+    (highest wins, ties broken by min doc_id) instead of the default
+    min-id representative — curation pipelines keep the BEST duplicate,
+    not the lexicographically first.  ``components`` is dedup_components
+    output; ``scores`` maps doc_id -> score.  One broadcast-sized shuffle
+    on component id; docs outside any component are unaffected (they are
+    their own survivors by definition and never enter the pair graph)."""
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("doc_id"))
+    return (components.join(scores, "doc_id")
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("component", "doc_id", score_col))
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, h0..h7) MinHash signature over word n-gram shingles."""
     sh = word_shingles(docs, n).withColumn(
