@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -73,7 +74,6 @@ def main() -> None:
         # statistics.median averages the middle pair for even rep counts
         # (indexing the upper-middle would report a max as a "median" at
         # reps=2)
-        import statistics
         timings[name] = round(statistics.median(samples), 3)
 
     # synthesized tokenized corpus: fused detrend+tier10 -> tier100 cascade

@@ -40,11 +40,12 @@ def main() -> None:
     keys = sys.argv[1:] or list(ANN_PINS)
     spark = get_spark(app_name="gen-ann-pins", cores=4, shuffle_partitions=8)
     try:
+        from __spark_entry__ import _emb
+        emb = _emb(spark, SF_DIR)  # same frame the contract queries read
         for key in keys:
             params = dict(ANN_QUERY_PARAMS[key])
             k = params["k"]
             params["k"] = k + 1       # one extra rank: boundary margin
-            emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
             rows = (_ann_func(key)(emb, **params)
                     .orderBy("query_id", "rank").collect())
             out = [{"query_id": r.query_id, "neighbor_id": r.neighbor_id,
@@ -64,13 +65,12 @@ def main() -> None:
                              zip(sims[:k], sims[1:k]) if a != b]
                 if len(sims) > k and sims[k - 1] != sims[k]:
                     boundary_gaps.append(abs(sims[k - 1] - sims[k]))
-            print(f"{key}: {len(out)} rows pinned to {path}; "
-                  f"min adjacent-rank gap "
-                  f"{min(adj_gaps):.3g}; " if adj_gaps else "no rank gaps; ",
-                  end="")
-            print(f"min rank-{k} vs rank-{k + 1} (pin boundary) gap "
-                  f"{min(boundary_gaps):.3g}" if boundary_gaps
-                  else "no boundary candidates")
+            adj = (f"min adjacent-rank gap {min(adj_gaps):.3g}"
+                   if adj_gaps else "no rank gaps")
+            bound = (f"min rank-{k} vs rank-{k + 1} (pin boundary) gap "
+                     f"{min(boundary_gaps):.3g}"
+                     if boundary_gaps else "no boundary candidates")
+            print(f"{key}: {len(out)} rows pinned to {path}; {adj}; {bound}")
     finally:
         spark.stop()
 

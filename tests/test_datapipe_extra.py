@@ -245,3 +245,9 @@ def test_component_survivors_by_quality(spark):
     got = {r.component: r.doc_id
            for r in component_survivors(comp, scores).collect()}
     assert got == {1: 2, 7: 7}   # doc 2 ties doc 3 at 0.9 -> min id wins
+    # unscored members rank last but never vanish: a fully-unscored
+    # component still emits a survivor (min doc_id)
+    sparse = spark.createDataFrame([(3, 0.1)], "doc_id long, score double")
+    got2 = {r.component: r.doc_id
+            for r in component_survivors(comp, sparse).collect()}
+    assert got2 == {1: 3, 7: 7}

@@ -284,12 +284,14 @@ def component_survivors(components: DataFrame, scores: DataFrame,
     (highest wins, ties broken by min doc_id) instead of the default
     min-id representative — curation pipelines keep the BEST duplicate,
     not the lexicographically first.  ``components`` is dedup_components
-    output; ``scores`` maps doc_id -> score.  One broadcast-sized shuffle
-    on component id; docs outside any component are unaffected (they are
-    their own survivors by definition and never enter the pair graph)."""
+    output; ``scores`` maps doc_id -> score.  Members missing from
+    ``scores`` rank last (NULL score, left join) rather than silently
+    vanishing — every component always emits exactly one survivor.  One
+    shuffle on component id; docs outside any component are unaffected
+    (they are their own survivors and never enter the pair graph)."""
     w = Window.partitionBy("component").orderBy(
-        F.col(score_col).desc(), F.col("doc_id"))
-    return (components.join(scores, "doc_id")
+        F.col(score_col).desc_nulls_last(), F.col("doc_id"))
+    return (components.join(scores, "doc_id", "left")
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
             .select("component", "doc_id", score_col))
@@ -788,16 +790,24 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
                  component representative kept)
               -> stratified sample (deterministic hash mixture weights)
 
-    Returns ``(kept, funnel)``: the surviving docs DataFrame and a lazy
-    (stage_idx, stage, n_docs) funnel report.  Intermediate stages are
-    persisted by default so evaluating the funnel (one count per stage)
-    does not recompute the chain per stage; at corpus scale prefer
-    checkpointing each stage to a table (Pipeline-style) instead.
+    Returns ``(kept, funnel)``: the surviving docs DataFrame and a small
+    (stage_idx, stage, n_docs) funnel report, computed EAGERLY so the
+    intermediate caches can be released before returning (``persist=True``
+    caches each stage while its count and the downstream stages consume
+    it, then unpersists — nothing leaks into the caller's session; a later
+    action on ``kept`` re-derives the chain, so persist or checkpoint
+    ``kept`` yourself if you will reuse it).  At corpus scale prefer
+    committing each stage to a table (Pipeline-style) instead.
     """
     from pyspark import StorageLevel
 
+    cached: list[DataFrame] = []
+
     def _cut(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+        if not persist:
+            return df
+        cached.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+        return cached[-1]
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs.filter(F.size(_words("text")) >= min_tokens)
@@ -826,12 +836,11 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
                                 default=sample_default)
         stages.append(("sample", cur))
 
-    funnel = None
-    for i, (name, df) in enumerate(stages):
-        row = (df.agg(F.count("*").alias("n_docs"))
-               .select(F.lit(i).alias("stage_idx"),
-                       F.lit(name).alias("stage"), "n_docs"))
-        funnel = row if funnel is None else funnel.unionByName(row)
+    rows = [(i, name, df.count()) for i, (name, df) in enumerate(stages)]
+    funnel = docs.sparkSession.createDataFrame(
+        rows, schema="stage_idx int, stage string, n_docs long")
+    for df in cached:
+        df.unpersist()
     return cur, funnel
 
 

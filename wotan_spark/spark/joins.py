@@ -62,8 +62,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     # timestamp for the tolerance check).  A struct is non-null exactly
     # when the row is a right row, so the fill lands on whole rows.
     from pyspark.sql.types import StructField, StructType
+    if "__rt" in payload:
+        raise ValueError("right payload column name '__rt' is reserved")
     m_type = StructType(
-        [StructField("rt", right.schema[right_time].dataType)]
+        [StructField("__rt", right.schema[right_time].dataType)]
         + [StructField(c, right.schema[c].dataType) for c in payload])
 
     lt = left.select(
@@ -78,7 +80,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
-        F.struct(F.col(right_time).alias("rt"),
+        F.struct(F.col(right_time).alias("__rt"),
                  *[F.col(c) for c in payload]).alias("__m"),
     )
     base = Window.partitionBy(*keys).orderBy("__t")
@@ -102,18 +104,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         return bad
 
     if direction == "backward":
-        bad = _bad("__b", F.col("__t") - F.col("__b.rt"))
+        bad = _bad("__b", F.col("__t") - F.col("__b.__rt"))
         sel = [F.when(~bad, F.col(f"__b.{c}")).alias(f"{c}{suffix}")
                for c in payload]
     elif direction == "forward":
-        bad = _bad("__f", F.col("__f.rt") - F.col("__t"))
+        bad = _bad("__f", F.col("__f.__rt") - F.col("__t"))
         sel = [F.when(~bad, F.col(f"__f.{c}")).alias(f"{c}{suffix}")
                for c in payload]
     else:
-        bad_b = _bad("__b", F.col("__t") - F.col("__b.rt"))
-        bad_f = _bad("__f", F.col("__f.rt") - F.col("__t"))
-        use_b = ~bad_b & (bad_f | ((F.col("__t") - F.col("__b.rt"))
-                                   <= (F.col("__f.rt") - F.col("__t"))))
+        bad_b = _bad("__b", F.col("__t") - F.col("__b.__rt"))
+        bad_f = _bad("__f", F.col("__f.__rt") - F.col("__t"))
+        use_b = ~bad_b & (bad_f | ((F.col("__t") - F.col("__b.__rt"))
+                                   <= (F.col("__f.__rt") - F.col("__t"))))
         sel = [F.when(use_b, F.col(f"__b.{c}"))
                .otherwise(F.when(~bad_f, F.col(f"__f.{c}")))
                .alias(f"{c}{suffix}") for c in payload]

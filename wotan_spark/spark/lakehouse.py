@@ -197,10 +197,10 @@ class SnapshotTable:
         dirs = self._manifest(sid)["files"]
         if not dirs:
             return None
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if where is None:
-            reader = spark.read
-            if merge_schema:
-                reader = reader.option("mergeSchema", "true")
             return reader.parquet(*dirs)
         col, lo, hi = where
         paths, pruned = [], 0
@@ -216,10 +216,10 @@ class SnapshotTable:
                 paths.append(os.path.join(d, fn))
         self.last_scan = {"files_read": len(paths), "files_pruned": pruned}
         if not paths:
-            schema = spark.read.parquet(*dirs).schema
+            schema = reader.parquet(*dirs).schema
             return spark.createDataFrame([], schema)
         from pyspark.sql import functions as F
-        return (spark.read.parquet(*paths)
+        return (reader.parquet(*paths)
                 .filter(F.col(col).between(lo, hi)))
 
     def read_incremental(self, spark: SparkSession, since_snapshot_id: int,
