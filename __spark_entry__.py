@@ -410,6 +410,13 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals (top-bigram
+    occurrence share, duplicated-trigram occurrence fraction)."""
+    from wotan_spark.spark.datapipe import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counting (GPT-2-style
     pretokenizer split classes)."""
@@ -1050,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_pq": _wrap(q_cosine_topk_pq),
         "cosine_topk_lsh": _wrap(q_cosine_topk_lsh),
         "curation_funnel": _wrap(q_curation_funnel),
+        "repetition_stats": _wrap(q_repetition_stats),
     }
 
 
@@ -2419,6 +2427,32 @@ def oracle_sql() -> dict[str, str]:
                cos_sim
         FROM scored
         QUALIFY rank <= 3
+    """
+
+    # token-occurrence fractions (not Gopher's character fractions) so the
+    # arithmetic is integer-exact; NULL dup frac for docs under 3 words
+    sqls["repetition_stats"] = """
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents),
+        g AS (
+            SELECT doc_id, 2 AS n,
+                   unnest([w[i] || ' ' || w[i+1]
+                           for i in generate_series(1, len(w) - 1)]) AS g
+            FROM w WHERE len(w) >= 2
+            UNION ALL
+            SELECT doc_id, 3 AS n,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in generate_series(1, len(w) - 2)]) AS g
+            FROM w WHERE len(w) >= 2),
+        c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               round(max(CASE WHEN n = 2 THEN c END)
+                     / (sum(CASE WHEN n = 2 THEN c END) * 1.0), 6)
+                   AS top_ngram_share,
+               round(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c END), 0)
+                     / (sum(CASE WHEN n = 3 THEN c END) * 1.0), 6)
+                   AS dup_ngram_frac
+        FROM c GROUP BY doc_id
     """
 
     return sqls

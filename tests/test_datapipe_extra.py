@@ -251,3 +251,24 @@ def test_component_survivors_by_quality(spark):
     got2 = {r.component: r.doc_id
             for r in component_survivors(comp, sparse).collect()}
     assert got2 == {1: 3, 7: 7}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals on hand-counted docs."""
+    from wotan_spark.spark.datapipe import repetition_stats
+    docs = spark.createDataFrame(
+        [
+            # bigrams: "a b" x3, "b a" x2 -> top share 3/5; trigrams
+            # "a b a" x2, "b a b" x2 -> all 4 occurrences duplicated
+            (0, "a b a b a b"),
+            # all-distinct words: top bigram 1/4, no duplicated trigram
+            (1, "v w x y z"),
+            # two words: one bigram (share 1.0), no trigram -> NULL frac
+            (2, "p q"),
+            # one word: shorter than n_top -> absent from the output
+            (3, "solo"),
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.top_ngram_share, r.dup_ngram_frac)
+           for r in repetition_stats(docs).collect()}
+    assert got == {0: (0.6, 1.0), 1: (0.25, 0.0), 2: (1.0, None)}

@@ -65,20 +65,26 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
             .filter(F.col("dup_count") > 1))
 
 
-def _grams(n: int) -> F.Column:
-    """Distinct word n-gram array of the ``text`` column, empty for docs
-    shorter than n words.  The short-doc branch must live INSIDE the
-    expression (lazy ``when``), not only in a separate filter: Spark infers
-    ``size(grams) > 0`` from a downstream explode and predicate pushdown
-    can reorder that inferred filter below the length filter, evaluating
-    the expression on short rows — where ``sequence(0, negative)`` counts
-    DOWN and feeds ``slice`` a zero start (runtime error)."""
+def _grams_all(n: int) -> F.Column:
+    """Word n-gram array of the ``text`` column WITH multiplicity, empty
+    for docs shorter than n words.  The short-doc branch must live INSIDE
+    the expression (lazy ``when``), not only in a separate filter: Spark
+    infers ``size(grams) > 0`` from a downstream explode and predicate
+    pushdown can reorder that inferred filter below the length filter,
+    evaluating the expression on short rows — where ``sequence(0,
+    negative)`` counts DOWN and feeds ``slice`` a zero start (runtime
+    error)."""
     w = _words("text")
     idx = F.sequence(F.lit(0), F.size(w) - n)
-    sh = F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
     return F.when(F.size(w) >= n, sh).otherwise(
         F.array().cast("array<string>"))
+
+
+def _grams(n: int) -> F.Column:
+    """Distinct word n-gram array (set semantics — the dedup/Jaccard
+    building block)."""
+    return F.array_distinct(_grams_all(n))
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -1033,6 +1039,56 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.round(ratio, 6).alias("stop_ratio"),
         F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_guess"))
+
+
+def repetition_stats(docs: DataFrame, n_top: int = 2,
+                     n_dup: int = 3) -> DataFrame:
+    """Within-document repetition signals, the standard pretraining-corpus
+    quality gate (Rae et al. 2021, "Gopher", appendix A1.1):
+    (doc_id, top_ngram_share, dup_ngram_frac).
+
+    ``top_ngram_share`` — occurrences of the doc's most frequent word
+    ``n_top``-gram over total ``n_top``-gram occurrences (Gopher cuts at
+    0.20 for bigrams); ``dup_ngram_frac`` — fraction of ``n_dup``-gram
+    occurrences whose gram occurs more than once in the doc.  Fractions
+    are over token occurrences rather than the paper's characters: the
+    ranking is near-identical and the arithmetic stays integer-exact for
+    the oracle.  Docs shorter than ``n_dup`` words get a NULL
+    ``dup_ngram_frac`` (undefined, not zero); docs shorter than ``n_top``
+    words are absent.
+
+    Scale shape: ONE corpus scan emits both gram streams tagged by n,
+    one (doc_id, n, gram) count, one per-doc rollup — explode + groupBy,
+    never a per-doc O(d*u) in-array occurrence count, so a pathological
+    repeated-token doc costs O(len) like every other and the widest
+    per-key state is one count per distinct (doc, gram).  No reference
+    counterpart — LLM-pipeline extension.
+    """
+    def _tag(n: int) -> F.Column:
+        return F.transform(_grams_all(n), lambda g: F.struct(
+            F.lit(n).alias("n"), g.alias("g")))
+
+    tagged = (_spread(docs, "doc_id")
+              .filter(F.size(_words("text")) >= n_top)
+              .select("doc_id",
+                      F.explode(F.concat(_tag(n_top), _tag(n_dup)))
+                      .alias("t")))
+    counts = (tagged
+              .groupBy("doc_id", F.col("t.n").alias("n"),
+                       F.col("t.g").alias("g"))
+              .agg(F.count("*").alias("c")))
+    is_top, is_dup = F.col("n") == n_top, F.col("n") == n_dup
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(is_top, F.col("c"))).alias("top_c"),
+        F.sum(F.when(is_top, F.col("c"))).alias("top_tot"),
+        F.sum(F.when(is_dup & (F.col("c") > 1), F.col("c"))).alias("dup_c"),
+        F.sum(F.when(is_dup, F.col("c"))).alias("dup_tot"))
+    return per_doc.select(
+        "doc_id",
+        F.round(F.col("top_c") / F.col("top_tot"), 6)
+         .alias("top_ngram_share"),
+        F.round(F.coalesce(F.col("dup_c"), F.lit(0)) / F.col("dup_tot"), 6)
+         .alias("dup_ngram_frac"))
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
