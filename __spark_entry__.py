@@ -410,6 +410,22 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-context sequence packing over the tokenized-sequence table
+    (two-phase global offsets, no global-order window).  Token-array
+    equality per chunk is checked exactly via an md5 over the
+    comma-joined array — array columns stringify differently between
+    pandas and DuckDB, so the hash is the driver-comparable form."""
+    from wotan_spark.spark.packing import pack_sequences
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    packed = pack_sequences(seq, context_len=512)
+    return packed.select(
+        "chunk_id", "n_docs", F.size("tokens").alias("n_tok"),
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals (top-bigram
     occurrence share, duplicated-trigram occurrence fraction)."""
@@ -1058,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": _wrap(q_cosine_topk_lsh),
         "curation_funnel": _wrap(q_curation_funnel),
         "repetition_stats": _wrap(q_repetition_stats),
+        "pack_sequences": _wrap(q_pack_sequences),
     }
 
 
@@ -2453,6 +2470,31 @@ def oracle_sql() -> dict[str, str]:
                      / (sum(CASE WHEN n = 3 THEN c END) * 1.0), 6)
                    AS dup_ngram_frac
         FROM c GROUP BY doc_id
+    """
+
+    # packing is a bijective re-bucketing of the concatenated token
+    # stream: the oracle rebuilds the stream with a plain global-order
+    # cumsum (fine at oracle scale) and hashes each chunk's tokens
+    sqls["pack_sequences"] = """
+        WITH seq AS (
+            SELECT 'user_' || user_id AS doc_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   round(value * 1000)::INT AS tok
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        n AS (SELECT doc_id, count(*) AS n FROM lim GROUP BY 1),
+        off AS (SELECT doc_id,
+                       sum(n) OVER (ORDER BY doc_id) - n AS off
+                FROM n),
+        tok AS (SELECT o.off + l.t AS gpos, l.tok, l.doc_id
+                FROM lim l JOIN off o ON o.doc_id = l.doc_id)
+        SELECT gpos // 512 AS chunk_id,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_tok,
+               md5(string_agg(tok::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
+        FROM tok GROUP BY 1
+        HAVING count(*) = 512
     """
 
     return sqls

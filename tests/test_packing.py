@@ -1,0 +1,73 @@
+"""Sequence packing: hand-counted chunks + stream-equality properties."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wotan_spark.spark.packing import pack_sequences
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, len(t), "unit") for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def test_pack_hand_counted(spark):
+    docs = _df(spark, [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6, 7, 8, 9])])
+    got = {r.chunk_id: (list(r.tokens), r.n_docs)
+           for r in pack_sequences(docs, 4).collect()}
+    # stream 1..9 in doc_id order; trailing [9] dropped
+    assert got == {0: ([1, 2, 3, 4], 2), 1: ([5, 6, 7, 8], 2)}
+
+
+def test_pack_keep_last_and_eod(spark):
+    docs = _df(spark, [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6, 7, 8, 9])])
+    got = {r.chunk_id: (list(r.tokens), r.n_docs)
+           for r in pack_sequences(docs, 4, drop_last=False).collect()}
+    assert got[2] == ([9], 1)
+    # EOD separator: stream 1,2,3,-1,4,5,-1,6,7,8,9,-1 -> three full chunks
+    got = {r.chunk_id: list(r.tokens)
+           for r in pack_sequences(docs, 4, eod_token=-1).collect()}
+    assert got == {0: [1, 2, 3, -1], 1: [4, 5, -1, 6], 2: [7, 8, 9, -1]}
+
+
+def test_pack_long_doc_spans_chunks(spark):
+    docs = _df(spark, [("only", list(range(10)))])
+    got = {r.chunk_id: (list(r.tokens), r.n_docs)
+           for r in pack_sequences(docs, 3).collect()}
+    assert got == {0: ([0, 1, 2], 1), 1: ([3, 4, 5], 1), 2: ([6, 7, 8], 1)}
+
+
+def test_pack_stream_equality_and_partition_invariance(spark):
+    """Concatenated chunks == concatenated per-doc streams (token-array
+    equality through the op), identically at any input partitioning and
+    any range-partition count — the two-phase offset must not depend on
+    physical layout."""
+    rng = np.random.default_rng(7)
+    rows = [(f"doc_{i:03d}",
+             [int(x) for x in rng.integers(-5000, 5000,
+                                           int(rng.integers(1, 400)))])
+            for i in range(60)]
+    docs = _df(spark, rows)
+    want = [t for _, toks in sorted(rows) for t in toks]
+    L = 256
+    want = want[:len(want) // L * L]
+
+    def stream(df):
+        out = sorted(df.collect(), key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in out] == list(range(len(out)))
+        assert all(len(r.tokens) == L for r in out)
+        return [t for r in out for t in r.tokens]
+
+    assert stream(pack_sequences(docs, L)) == want
+    assert stream(pack_sequences(docs.repartition(1), L, partitions=3)) == want
+    assert stream(pack_sequences(docs.repartition(17, "doc_id"), L,
+                                 partitions=16)) == want
+
+
+def test_pack_n_docs_counts_contributors(spark):
+    # many single-token docs into one chunk: n_docs == context_len
+    docs = _df(spark, [(f"d{i:02d}", [i]) for i in range(8)])
+    rows = pack_sequences(docs, 8).collect()
+    assert len(rows) == 1 and rows[0].n_docs == 8

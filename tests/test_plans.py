@@ -185,3 +185,19 @@ def test_pq_topk_avoids_cross_join(spark):
     plan = cosine_topk_pq(emb, [0, 1, 2], k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pack_sequences_has_no_global_order_exchange(spark):
+    """The packed-chunk plan must never collapse to one partition: the
+    naive global-order window would show `Exchange SinglePartition` (rows)
+    or `Exchange rangepartitioning(... 1)`; the two-phase offset design
+    keeps every exchange hash- or N-way-range-partitioned."""
+    from wotan_spark.spark.packing import pack_sequences
+    docs = spark.createDataFrame(
+        [(f"d{i}", list(range(i + 1)), i + 1, "t") for i in range(20)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    plan = pack_sequences(docs, 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower() or ", 1)" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -1,0 +1,113 @@
+"""Sequence packing: fixed-context training chunks from tokenized docs.
+
+The canonical LLM training-data op over the ``(doc_id, tokens:array<int>,
+n_tok, source)`` table this engine is built around: concatenate every
+document's token array in a deterministic global order (ascending
+``doc_id``, optionally an end-of-document separator token after each doc)
+and re-slice the stream into consecutive chunks of exactly ``context_len``
+tokens.  Every token keeps its global stream position, so the output is a
+bijective re-bucketing of the input stream — the per-row token-array
+equality invariant extends to the packed table (property-tested).
+
+Scale shape — the naive plan is a single global-order window
+(``Window.orderBy("doc_id")``), which Spark executes on ONE partition: a
+scale-killer at 10^12 docs.  Instead the global offset of each doc is
+computed in two bounded phases:
+
+1. range-repartition the tiny doc-level ``(doc_id, n)`` frame by doc_id
+   and take per-physical-partition token totals — ONE row per partition
+   collected to the driver (bounded metadata, like the IVF sample);
+2. broadcast the exclusive prefix per partition back and add a
+   WITHIN-partition running sum (parallel window, no global sort).
+
+The doc-level frame is persisted between the two phases so both jobs see
+the same range-partition assignment (``repartitionByRange`` samples range
+boundaries per job; an unpersisted recompute may re-draw them, silently
+skewing every offset).  Token payloads never enter the window: they join
+the finished offsets by doc_id, slice into chunk-aligned segments inside
+Catalyst (a doc emits ceil(n/L)+1 segments at most — linear), and one
+groupBy(chunk_id) reassembles each chunk from at most ``context_len``
+segments.  No pandas UDF anywhere: the whole operator is JVM-side.
+
+No reference counterpart (wotan is a detrending library) — this is the
+tokens-payload extension of the engine's data model.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
+
+
+def pack_sequences(seqs: DataFrame, context_len: int,
+                   eod_token: int | None = None,
+                   drop_last: bool = True,
+                   partitions: int | None = None) -> DataFrame:
+    """Pack token arrays into fixed-length chunks.
+
+    Returns ``(chunk_id:long, tokens:array<int>, n_docs:long)`` where
+    ``chunk_id`` numbers consecutive windows of the concatenated stream
+    and ``n_docs`` counts the documents contributing to the chunk.  With
+    ``drop_last`` (default) the trailing partial chunk is dropped, so
+    every output row has exactly ``context_len`` tokens; otherwise the
+    remainder is emitted short.  ``eod_token`` appends a separator after
+    every document before packing (GPT-style document boundary).
+    """
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    spark = seqs.sparkSession
+    n_par = partitions or max(int(spark.sparkContext.defaultParallelism), 4)
+
+    toks = F.col("tokens")
+    if eod_token is not None:
+        toks = F.concat(toks, F.array(F.lit(int(eod_token)).cast("int")))
+    body = (seqs.select(F.col("doc_id"), toks.alias("toks"))
+            .filter(F.size("toks") > 0))
+
+    # phase 1+2: global exclusive prefix of token counts in doc_id order,
+    # without a global-order window (see module docstring)
+    doc_sizes = (body.select("doc_id", F.size("toks").cast("long").alias("n"))
+                 .repartitionByRange(n_par, "doc_id")
+                 .withColumn("pid", F.spark_partition_id())
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    part_totals = sorted(
+        (r["pid"], r["tot"]) for r in
+        doc_sizes.groupBy("pid").agg(F.sum("n").alias("tot")).collect())
+    prefix, acc = [], 0
+    for pid, tot in part_totals:
+        prefix.append((pid, acc))
+        acc += int(tot)
+    prefix_df = spark.createDataFrame(prefix, "pid int, part_off long")
+    in_part = Window.partitionBy("pid").orderBy("doc_id")
+    offsets = (doc_sizes.join(F.broadcast(prefix_df), "pid")
+               .select("doc_id", "n",
+                       (F.col("part_off") + F.sum("n").over(in_part)
+                        - F.col("n")).alias("off")))
+
+    # chunk-aligned segments, sliced inside Catalyst per doc
+    L = int(context_len)
+    first_c = (F.col("off") / L).cast("long")
+    last_c = ((F.col("off") + F.col("n") - 1) / L).cast("long")
+    segs = (body.join(offsets, "doc_id")
+            .select(F.explode(F.transform(
+                F.sequence(first_c, last_c),
+                lambda c: F.struct(
+                    c.alias("chunk_id"),
+                    F.greatest(c * L, F.col("off")).alias("gpos"),
+                    F.slice(
+                        F.col("toks"),
+                        (F.greatest(c * L, F.col("off"))
+                         - F.col("off") + 1).cast("int"),
+                        (F.least((c + 1) * L, F.col("off") + F.col("n"))
+                         - F.greatest(c * L, F.col("off"))).cast("int"),
+                    ).alias("seg")))).alias("s")))
+    packed = (segs.groupBy(F.col("s.chunk_id").alias("chunk_id"))
+              .agg(F.flatten(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("s.gpos"), F.col("s.seg")))),
+                       lambda x: x["seg"])).alias("tokens"),
+                   F.count("*").alias("n_docs")))
+    if drop_last:
+        packed = packed.filter(F.size("tokens") == L)
+    return packed.select("chunk_id", "tokens", "n_docs")
