@@ -272,3 +272,21 @@ def test_repetition_stats_hand_computed(spark):
     got = {r.doc_id: (r.top_ngram_share, r.dup_ngram_frac)
            for r in repetition_stats(docs).collect()}
     assert got == {0: (0.6, 1.0), 1: (0.25, 0.0), 2: (1.0, None)}
+
+
+def test_repetition_stats_param_validation(spark):
+    """Equal gram lengths would double-count via the shared length tag;
+    swapped lengths must still emit well-defined partial signals."""
+    import pytest
+    from wotan_spark.spark.datapipe import repetition_stats
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "p q")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must differ"):
+        repetition_stats(docs, n_top=2, n_dup=2)
+    # n_top=3, n_dup=2: the 2-word doc keeps its bigram dup stats and
+    # gets a NULL top-trigram share
+    got = {r.doc_id: (r.top_ngram_share, r.dup_ngram_frac)
+           for r in repetition_stats(docs, n_top=3, n_dup=2).collect()}
+    # doc 0 bigrams: "a b" x3 + "b a" x2 -> all duplicated; trigrams
+    # "a b a" x2 + "b a b" x2 -> top share 0.5
+    assert got == {0: (0.5, 1.0), 1: (None, 0.0)}

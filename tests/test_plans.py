@@ -199,5 +199,8 @@ def test_pack_sequences_has_no_global_order_exchange(spark):
     plan = pack_sequences(docs, 8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" not in plan.lower() or ", 1)" not in plan
+    import re
+    range_counts = [int(m) for m in re.findall(
+        r"rangepartitioning\([^)]*?,\s*(\d+)\)", plan)]
+    assert all(n > 1 for n in range_counts), plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

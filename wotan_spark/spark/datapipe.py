@@ -1053,9 +1053,11 @@ def repetition_stats(docs: DataFrame, n_top: int = 2,
     occurrences whose gram occurs more than once in the doc.  Fractions
     are over token occurrences rather than the paper's characters: the
     ranking is near-identical and the arithmetic stays integer-exact for
-    the oracle.  Docs shorter than ``n_dup`` words get a NULL
-    ``dup_ngram_frac`` (undefined, not zero); docs shorter than ``n_top``
-    words are absent.
+    the oracle.  A doc too short for one of the two gram lengths gets
+    NULL for that signal (undefined, not zero); docs shorter than both
+    are absent.  ``n_top`` and ``n_dup`` must differ — the gram streams
+    are distinguished by their length tag, so equal values would
+    double-count every gram.
 
     Scale shape: ONE corpus scan emits both gram streams tagged by n,
     one (doc_id, n, gram) count, one per-doc rollup — explode + groupBy,
@@ -1064,12 +1066,16 @@ def repetition_stats(docs: DataFrame, n_top: int = 2,
     per-key state is one count per distinct (doc, gram).  No reference
     counterpart — LLM-pipeline extension.
     """
+    if n_top == n_dup:
+        raise ValueError(
+            f"n_top and n_dup must differ, both are {n_top}")
+
     def _tag(n: int) -> F.Column:
         return F.transform(_grams_all(n), lambda g: F.struct(
             F.lit(n).alias("n"), g.alias("g")))
 
     tagged = (_spread(docs, "doc_id")
-              .filter(F.size(_words("text")) >= n_top)
+              .filter(F.size(_words("text")) >= min(n_top, n_dup))
               .select("doc_id",
                       F.explode(F.concat(_tag(n_top), _tag(n_dup)))
                       .alias("t")))

@@ -23,7 +23,8 @@ computed in two bounded phases:
 The doc-level frame is persisted between the two phases so both jobs see
 the same range-partition assignment (``repartitionByRange`` samples range
 boundaries per job; an unpersisted recompute may re-draw them, silently
-skewing every offset).  Token payloads never enter the window: they join
+skewing every offset), then released as soon as the finished offsets are
+checkpointed — nothing stays pinned in the session cache.  Token payloads never enter the window: they join
 the finished offsets by doc_id, slice into chunk-aligned segments inside
 Catalyst (a doc emits ceil(n/L)+1 segments at most — linear), and one
 groupBy(chunk_id) reassembles each chunk from at most ``context_len``
@@ -84,11 +85,22 @@ def pack_sequences(seqs: DataFrame, context_len: int,
                .select("doc_id", "n",
                        (F.col("part_off") + F.sum("n").over(in_part)
                         - F.col("n")).alias("off")))
+    # materialize the doc-level offsets (checkpoint when a reliable dir is
+    # set, else executor-local) so the cached doc_sizes can be released
+    # NOW instead of pinning one row per doc in the session cache forever;
+    # the checkpointed RDD is reclaimed by the ContextCleaner when the
+    # returned frame is dropped, unlike a CacheManager persist
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    offsets = (offsets.checkpoint(eager=True) if reliable
+               else offsets.localCheckpoint(eager=True))
+    doc_sizes.unpersist()
 
-    # chunk-aligned segments, sliced inside Catalyst per doc
+    # chunk-aligned segments, sliced inside Catalyst per doc.  Chunk ids
+    # use integer DIV: a float64 division would lose exactness once the
+    # global stream passes 2^53 tokens — inside this module's stated scale
     L = int(context_len)
-    first_c = (F.col("off") / L).cast("long")
-    last_c = ((F.col("off") + F.col("n") - 1) / L).cast("long")
+    first_c = F.expr(f"off DIV {L}")
+    last_c = F.expr(f"(off + n - 1) DIV {L}")
     segs = (body.join(offsets, "doc_id")
             .select(F.explode(F.transform(
                 F.sequence(first_c, last_c),
