@@ -10,7 +10,8 @@ Job: fused detrend(biweight, W=17) + tier-10 rollup + tier-100 cascade over
 a deterministic 10k-sequence parquet corpus (lognormal lengths, heavy tail).
 
 Env: WOTAN_SCALE_DOCS (10000), WOTAN_SCALE_N ("8"), WOTAN_SCALE_ROUNDS (3),
-WOTAN_SCALE_REPS (2: reps within a session, min taken).
+WOTAN_SCALE_REPS (2: reps within a session, min taken),
+WOTAN_SCALE_JOB ("rollup"; "pack" runs fixed-context sequence packing).
 """
 
 from __future__ import annotations
@@ -42,17 +43,28 @@ def corpus_path(n_docs: int) -> str:
     return path
 
 
-def run_level(path: str, cores: int, reps: int) -> float:
-    from wotan_spark.spark.rollup import cascade_tier, detrend_rollup_fused
+def run_level(path: str, cores: int, reps: int,
+              job_name: str = "rollup") -> float:
     from wotan_spark.spark.session import get_spark
     spark = get_spark(app_name=f"scale-{cores}", cores=cores,
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     seq = spark.read.parquet(path)
 
-    def job():
-        cascade_tier(detrend_rollup_fused(seq, "biweight",
-                                          window_length=17)).count()
+    if job_name == "pack":
+        from wotan_spark.spark.packing import pack_sequences
+
+        def job():
+            # the full operator per rep: offset collect, checkpoint,
+            # segment shuffle, chunk reassembly
+            pack_sequences(seq, 1024).count()
+    else:
+        from wotan_spark.spark.rollup import (cascade_tier,
+                                              detrend_rollup_fused)
+
+        def job():
+            cascade_tier(detrend_rollup_fused(seq, "biweight",
+                                              window_length=17)).count()
 
     job()  # warm: codegen + worker spawn
     best = float("inf")
@@ -73,17 +85,18 @@ def main() -> None:
     # previous round's own sessions — keeps the pre-round stamp an honest
     # external-contention reading
     cooldown = int(os.environ.get("WOTAN_SCALE_COOLDOWN", "0"))
+    job_name = os.environ.get("WOTAN_SCALE_JOB", "rollup")
     path = corpus_path(n_docs)
 
-    out = {"docs": n_docs, "rounds": []}
+    out = {"docs": n_docs, "job": job_name, "rounds": []}
     for n in levels:
         effs = []
         for _ in range(rounds):
             if cooldown:
                 time.sleep(cooldown)
             load_pre = [round(x, 2) for x in os.getloadavg()]
-            w_lo = run_level(path, n, reps)
-            w_hi = run_level(path, 4 * n, reps)
+            w_lo = run_level(path, n, reps, job_name)
+            w_hi = run_level(path, 4 * n, reps, job_name)
             eff = (w_lo / w_hi) / 4.0
             effs.append(eff)
             out["rounds"].append({

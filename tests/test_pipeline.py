@@ -218,3 +218,36 @@ def test_schema_evolution_append_and_merge_read(spark, tmp_path):
     got = {r.x: (r.y, r.label)
            for r in t.read(spark, merge_schema=True).collect()}
     assert got == {1: (10.0, None), 2: (20.0, "tag")}
+
+
+def test_pipeline_optional_chunks_stage(spark, tmp_path):
+    """pack_context_len adds a resumable chunks stage with its own
+    fingerprint: re-running skips it, changing the context length recomputes
+    it, and the detrend stages never invalidate either way."""
+    seq = synth_sequences(spark, 10, median_len=150, max_len=400)
+    root = str(tmp_path / "tables")
+    cfg = PipelineConfig(method="mean", window_length=17,
+                         pack_context_len=256)
+    p1 = Pipeline(spark, root, cfg)
+    out1 = p1.run(sequences=seq)
+    assert "chunks" in out1
+    chunks = p1.tables["chunks"].read(spark)
+    n_tok_total = sum(r.n_tok for r in
+                      seq.select(F.col("n_tok")).collect())
+    rows = chunks.collect()
+    assert len(rows) == n_tok_total // 256          # drop_last remainder
+    assert all(len(r.tokens) == 256 for r in rows)
+    lin = p1.tables["lineage"].read(spark).filter(F.col("stage") == "chunks")
+    assert lin.count() >= 1
+
+    # resume: chunks stage skipped, same snapshot
+    sid = p1.tables["chunks"].current_snapshot_id()
+    out2 = Pipeline(spark, root, cfg).run()
+    assert "chunks" not in out2
+    assert p1.tables["chunks"].current_snapshot_id() == sid
+
+    # changed context length -> only the chunks stage recomputes
+    cfg2 = PipelineConfig(method="mean", window_length=17,
+                          pack_context_len=128)
+    out3 = Pipeline(spark, root, cfg2).run()
+    assert "chunks" in out3 and "detrended" not in out3

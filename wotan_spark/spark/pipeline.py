@@ -6,6 +6,8 @@ Stage graph (each stage commits one snapshot table and its lineage rows):
     detrended ──tier10 rollup (packed)────────> tier10
     tier10    ──cascade groupBy───────────────> tier100
     detrended ──gorilla blocks (packed)───────> blocks
+    sequences ──fixed-context packing─────────> chunks   (optional,
+                when ``pack_context_len`` is set; stage-local fingerprint)
 
 Resume: every stage snapshot carries a config fingerprint
 (method/params/run scope).  ``run_pipeline`` skips stages whose snapshot
@@ -53,6 +55,18 @@ class PipelineConfig:
     # deliberately excluded from fingerprint() so setting it never
     # invalidates resumable stage snapshots.
     checkpoint_dir: str | None = None
+    # Optional fixed-context packing stage: when set, the raw sequences
+    # are also packed into training chunks of this length (see
+    # packing.pack_sequences) and committed as the ``chunks`` table.
+    # Fingerprinted per-stage (not in fingerprint()) so toggling packing
+    # never invalidates the detrend/rollup stage snapshots.
+    pack_context_len: int | None = None
+    pack_eod_token: int | None = None
+
+    def pack_fingerprint(self) -> str:
+        blob = json.dumps({"context_len": self.pack_context_len,
+                           "eod": self.pack_eod_token}, sort_keys=True)
+        return "pack-" + hashlib.md5(blob.encode()).hexdigest()[:16]
 
     def fingerprint(self) -> str:
         blob = json.dumps({
@@ -95,7 +109,7 @@ class Pipeline:
         self.tables = {
             name: SnapshotTable(os.path.join(root, name))
             for name in ("sequences", "detrended", "tier10", "tier100",
-                         "blocks", "lineage")
+                         "blocks", "chunks", "lineage")
         }
 
     # ------------------------------------------------------------------
@@ -138,7 +152,17 @@ class Pipeline:
         if seq_df is None:
             raise ValueError("no sequences ingested")
 
-        stages = ["detrended", "tier10", "tier100", "blocks"]
+        if cfg.pack_context_len:
+            pfp = cfg.pack_fingerprint()
+            if not self._stage_done("chunks", pfp):
+                t0 = time.time()
+                from wotan_spark.spark.packing import pack_sequences
+                chunks = pack_sequences(seq_df, cfg.pack_context_len,
+                                        eod_token=cfg.pack_eod_token)
+                out["chunks"] = self._commit_stage("chunks", chunks, pfp,
+                                                   seq_sid, run_id, t0)
+        if stop_after == "chunks":
+            return out
 
         if not self._stage_done("detrended", fp):
             t0 = time.time()
