@@ -71,3 +71,14 @@ def test_pack_n_docs_counts_contributors(spark):
     docs = _df(spark, [(f"d{i:02d}", [i]) for i in range(8)])
     rows = pack_sequences(docs, 8).collect()
     assert len(rows) == 1 and rows[0].n_docs == 8
+
+
+def test_pack_without_n_tok_column(spark):
+    """Frames lacking the contract's n_tok column fall back to sizing the
+    arrays; output identical."""
+    docs = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6, 7, 8, 9])],
+        "doc_id string, tokens array<int>")
+    got = {r.chunk_id: list(r.tokens)
+           for r in pack_sequences(docs, 4).collect()}
+    assert got == {0: [1, 2, 3, 4], 1: [5, 6, 7, 8]}

@@ -67,8 +67,17 @@ def pack_sequences(seqs: DataFrame, context_len: int,
             .filter(F.size("toks") > 0))
 
     # phase 1+2: global exclusive prefix of token counts in doc_id order,
-    # without a global-order window (see module docstring)
-    doc_sizes = (body.select("doc_id", F.size("toks").cast("long").alias("n"))
+    # without a global-order window (see module docstring).  The size
+    # column: the input contract declares n_tok == len(tokens), and using
+    # it lets the metadata pass prune the token payload out of its scan
+    # entirely (two thin columns instead of re-reading every array just
+    # to size it — the payload is then read once, by the segment pass)
+    eod_extra = 0 if eod_token is None else 1
+    if "n_tok" in seqs.columns:
+        n_col = (F.col("n_tok").cast("long") + eod_extra).alias("n")
+    else:
+        n_col = (F.size("tokens").cast("long") + eod_extra).alias("n")
+    doc_sizes = (seqs.select("doc_id", n_col).filter(F.col("n") > 0)
                  .repartitionByRange(n_par, "doc_id")
                  .withColumn("pid", F.spark_partition_id())
                  .persist(StorageLevel.MEMORY_AND_DISK))
