@@ -426,6 +426,15 @@ def q_pack_sequences(spark, sf_dir):
             "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
 
 
+def q_shard_chunks(spark, sf_dir):
+    """Deterministic training-order sharding of the packed chunks
+    (md5-derived permutation, per-shard position windows)."""
+    from wotan_spark.spark.packing import pack_sequences, shard_chunks
+    from wotan_spark.spark.synth import sequences_from_events
+    packed = pack_sequences(sequences_from_events(spark, sf_dir), 512)
+    return shard_chunks(packed, n_shards=4, seed=7)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals (top-bigram
     occurrence share, duplicated-trigram occurrence fraction)."""
@@ -1075,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _wrap(q_curation_funnel),
         "repetition_stats": _wrap(q_repetition_stats),
         "pack_sequences": _wrap(q_pack_sequences),
+        "shard_chunks": _wrap(q_shard_chunks),
     }
 
 
@@ -2495,6 +2505,32 @@ def oracle_sql() -> dict[str, str]:
                md5(string_agg(tok::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
         FROM tok GROUP BY 1
         HAVING count(*) = 512
+    """
+
+    sqls["shard_chunks"] = """
+        WITH seq AS (
+            SELECT 'user_' || user_id AS doc_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   round(value * 1000)::INT AS tok
+            FROM events),
+        lim AS (SELECT * FROM seq WHERE t < 4096),
+        n AS (SELECT doc_id, count(*) AS n FROM lim GROUP BY 1),
+        off AS (SELECT doc_id,
+                       sum(n) OVER (ORDER BY doc_id) - n AS off
+                FROM n),
+        tok AS (SELECT o.off + l.t AS gpos, l.doc_id
+                FROM lim l JOIN off o ON o.doc_id = l.doc_id),
+        ch AS (SELECT gpos // 512 AS chunk_id
+               FROM tok GROUP BY 1 HAVING count(*) = 512),
+        h AS (SELECT chunk_id,
+                     ('0x' || substr(md5('7:' || chunk_id::VARCHAR),
+                                     1, 14))::BIGINT AS u
+              FROM ch)
+        SELECT chunk_id, (u % 4)::INT AS shard,
+               (row_number() OVER (PARTITION BY u % 4
+                                   ORDER BY u, chunk_id) - 1)::INT AS pos
+        FROM h
     """
 
     return sqls

@@ -82,3 +82,27 @@ def test_pack_without_n_tok_column(spark):
     got = {r.chunk_id: list(r.tokens)
            for r in pack_sequences(docs, 4).collect()}
     assert got == {0: [1, 2, 3, 4], 1: [5, 6, 7, 8]}
+
+
+def test_shard_chunks_deterministic_and_balanced(spark):
+    from wotan_spark.spark.packing import shard_chunks
+    chunks = spark.createDataFrame(
+        [(i, [i], 1) for i in range(200)],
+        "chunk_id long, tokens array<int>, n_docs long")
+    a = {r.chunk_id: (r.shard, r.pos)
+         for r in shard_chunks(chunks, 4, seed=1).collect()}
+    b = {r.chunk_id: (r.shard, r.pos)
+         for r in shard_chunks(chunks.repartition(7), 4, seed=1).collect()}
+    assert a == b                                   # layout-invariant
+    # dense 0..k-1 positions per shard, hash-balanced within 3x of even
+    from collections import Counter
+    sizes = Counter(s for s, _ in a.values())
+    assert sorted(sizes) == [0, 1, 2, 3]
+    assert max(sizes.values()) < 3 * 200 // 4
+    for s in sizes:
+        got = sorted(p for sh, p in a.values() if sh == s)
+        assert got == list(range(sizes[s]))
+    # a different seed produces a different permutation
+    c = {r.chunk_id: (r.shard, r.pos)
+         for r in shard_chunks(chunks, 4, seed=2).collect()}
+    assert c != a

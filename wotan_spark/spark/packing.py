@@ -132,3 +132,30 @@ def pack_sequences(seqs: DataFrame, context_len: int,
     if drop_last:
         packed = packed.filter(F.size("tokens") == L)
     return packed.select("chunk_id", "tokens", "n_docs")
+
+
+def shard_chunks(chunks: DataFrame, n_shards: int,
+                 seed: int = 0) -> DataFrame:
+    """Deterministic training-order sharding of packed chunks:
+    ``(chunk_id, shard, pos)`` with shards balanced by hash and ``pos``
+    a dense 0-based position within the shard.
+
+    The permutation is a pure function of ``(seed, chunk_id)`` — an
+    md5-derived 56-bit key, the same portable idiom as
+    ``datapipe.stratified_sample`` — so there is no RNG state to
+    coordinate across executors, re-running at any parallelism or
+    partitioning yields the identical order, and changing ``seed``
+    reshuffles globally.  Position windows are per-shard (parallel, no
+    global sort); chunk ids break the (vanishingly unlikely) hash ties
+    so the order stays total.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    u = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(str(int(seed))), F.col("chunk_id").cast("string"))),
+        1, 14), 16, 10).cast("long")
+    in_shard = Window.partitionBy("shard").orderBy("u", "chunk_id")
+    return (chunks.select("chunk_id", u.alias("u"))
+            .withColumn("shard", (F.col("u") % n_shards).cast("int"))
+            .withColumn("pos", F.row_number().over(in_shard) - 1)
+            .select("chunk_id", "shard", "pos"))
