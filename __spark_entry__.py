@@ -2528,8 +2528,8 @@ def oracle_sql() -> dict[str, str]:
                                      1, 14))::BIGINT AS u
               FROM ch)
         SELECT chunk_id, (u % 4)::INT AS shard,
-               (row_number() OVER (PARTITION BY u % 4
-                                   ORDER BY u, chunk_id) - 1)::INT AS pos
+               row_number() OVER (PARTITION BY u % 4
+                                  ORDER BY u, chunk_id) - 1 AS pos
         FROM h
     """
 

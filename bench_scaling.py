@@ -86,6 +86,9 @@ def main() -> None:
     # external-contention reading
     cooldown = int(os.environ.get("WOTAN_SCALE_COOLDOWN", "0"))
     job_name = os.environ.get("WOTAN_SCALE_JOB", "rollup")
+    if job_name not in ("rollup", "pack"):
+        raise ValueError(f"WOTAN_SCALE_JOB must be rollup|pack, "
+                         f"got {job_name!r}")
     path = corpus_path(n_docs)
 
     out = {"docs": n_docs, "job": job_name, "rounds": []}

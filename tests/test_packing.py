@@ -84,6 +84,30 @@ def test_pack_without_n_tok_column(spark):
     assert got == {0: [1, 2, 3, 4], 1: [5, 6, 7, 8]}
 
 
+def test_pack_inaccurate_n_tok_fails_loudly(spark):
+    """The metadata pass trusts the contract's n_tok; every way it can lie
+    must raise (stale count, NULL with a live payload, positive with an
+    empty payload) rather than silently dropping or corrupting chunks."""
+    import pytest
+
+    def packed(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string")
+        return pack_sequences(df, 4).collect()
+
+    with pytest.raises(Exception, match="n_tok does not match"):
+        packed([("a", [1, 2, 3], 5, "unit"), ("b", [4, 5, 6, 7], 4, "unit")])
+    # NULL n_tok with non-empty tokens: the doc falls out of the metadata
+    # pass only — an inner join would silently drop its tokens
+    with pytest.raises(Exception, match="n_tok does not match"):
+        packed([("a", [1, 2, 3], None, "unit"),
+                ("b", [4, 5, 6, 7, 8], 5, "unit")])
+    # declared-positive but empty payload: the doc falls out of the body
+    # side only — its declared tokens would silently shift every later doc
+    with pytest.raises(Exception, match="n_tok does not match"):
+        packed([("a", [], 3, "unit"), ("b", [4, 5, 6, 7, 8], 5, "unit")])
+
+
 def test_shard_chunks_deterministic_and_balanced(spark):
     from wotan_spark.spark.packing import shard_chunks
     chunks = spark.createDataFrame(

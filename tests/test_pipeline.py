@@ -251,3 +251,54 @@ def test_pipeline_optional_chunks_stage(spark, tmp_path):
                           pack_context_len=128)
     out3 = Pipeline(spark, root, cfg2).run()
     assert "chunks" in out3 and "detrended" not in out3
+
+
+def test_pipeline_chunks_switch_back_and_input_growth_recompute(
+        spark, tmp_path):
+    """Two resume hazards on the chunks stage: (a) switching
+    pack_context_len A -> B -> A must recompute on the third run (HEAD
+    serves B's data even though an A-fingerprinted snapshot exists in
+    history); (b) growing the sequences table (update_incremental) must
+    repack — packing is a global re-bucketing that incremental merges
+    cannot maintain."""
+    seq = synth_sequences(spark, 8, median_len=120, max_len=300)
+    root = str(tmp_path / "tables")
+
+    def cfg(L):
+        return PipelineConfig(method="mean", window_length=17,
+                              pack_context_len=L)
+
+    Pipeline(spark, root, cfg(256)).run(sequences=seq)
+    Pipeline(spark, root, cfg(128)).run()
+    p3 = Pipeline(spark, root, cfg(256))
+    out3 = p3.run()
+    assert "chunks" in out3                      # switch-back recomputed
+    rows = p3.tables["chunks"].read(spark).collect()
+    assert rows and all(len(r.tokens) == 256 for r in rows)
+
+    # same config, same input -> still resumable (no spurious recompute)
+    assert "chunks" not in Pipeline(spark, root, cfg(256)).run()
+
+    # input growth: append new docs, next run must repack with them
+    extra = synth_sequences(spark, 12, median_len=120,
+                            max_len=300).filter(F.col("doc_id") >=
+                                                "doc_00000008")
+    p3.update_incremental(extra)
+    p4 = Pipeline(spark, root, cfg(256))
+    out4 = p4.run()
+    assert "chunks" in out4
+    n_tok_total = (p4.tables["sequences"].read(spark)
+                   .agg(F.sum("n_tok")).collect()[0][0])
+    got = sum(len(r.tokens) for r in
+              p4.tables["chunks"].read(spark).collect())
+    assert got == n_tok_total // 256 * 256
+
+
+def test_pipeline_stop_after_chunks_requires_context_len(spark, tmp_path):
+    """stop_after='chunks' on a config without pack_context_len would
+    silently no-op the whole run; it must raise instead."""
+    import pytest
+    seq = synth_sequences(spark, 4, median_len=50, max_len=100)
+    p = Pipeline(spark, str(tmp_path / "tables"), PipelineConfig())
+    with pytest.raises(ValueError, match="pack_context_len"):
+        p.run(sequences=seq, stop_after="chunks")

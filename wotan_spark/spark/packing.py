@@ -108,9 +108,30 @@ def pack_sequences(seqs: DataFrame, context_len: int,
     # use integer DIV: a float64 division would lose exactness once the
     # global stream passes 2^53 tokens — inside this module's stated scale
     L = int(context_len)
-    first_c = F.expr(f"off DIV {L}")
+    # the metadata pass trusted the declared n_tok; a stale value would
+    # misplace every later doc's offsets and silently drop the misshapen
+    # chunks under drop_last — fail loudly instead.  The join is FULL
+    # OUTER so a doc present on only one side (n_tok NULL or <= 0 with a
+    # non-empty payload, or declared positive with an empty payload)
+    # surfaces as a NULL on the other side rather than vanishing in an
+    # inner join; size(NULL) == n is NULL, and assert_true raises on
+    # non-true.  The guard feeds the sequence lower bound (coalesce of
+    # assert_true's always-NULL pass value), so it is evaluated before
+    # any segment is emitted and the optimizer cannot prune it
+    n_ok = F.coalesce(
+        F.assert_true(
+            F.size("toks") == F.col("n"),
+            F.concat(F.lit("pack_sequences: declared n_tok does not match "
+                           "len(tokens) for doc_id="),
+                     F.coalesce(F.col("doc_id").cast("string"),
+                                F.lit("NULL")))).cast("long"),
+        F.lit(0).cast("long"))
+    # n_ok on the LEFT: interpreted-mode binary ops short-circuit on a
+    # NULL left operand, and `off` IS NULL for the anomalous rows the
+    # guard exists to catch
+    first_c = n_ok + F.expr(f"off DIV {L}")
     last_c = F.expr(f"(off + n - 1) DIV {L}")
-    segs = (body.join(offsets, "doc_id")
+    segs = (body.join(offsets, "doc_id", "full")
             .select(F.explode(F.transform(
                 F.sequence(first_c, last_c),
                 lambda c: F.struct(
@@ -134,28 +155,58 @@ def pack_sequences(seqs: DataFrame, context_len: int,
     return packed.select("chunk_id", "tokens", "n_docs")
 
 
-def shard_chunks(chunks: DataFrame, n_shards: int,
-                 seed: int = 0) -> DataFrame:
+def shard_chunks(chunks: DataFrame, n_shards: int, seed: int = 0,
+                 partitions: int | None = None) -> DataFrame:
     """Deterministic training-order sharding of packed chunks:
     ``(chunk_id, shard, pos)`` with shards balanced by hash and ``pos``
     a dense 0-based position within the shard.
 
     The permutation is a pure function of ``(seed, chunk_id)`` — an
-    md5-derived 56-bit key, the same portable idiom as
-    ``datapipe.stratified_sample`` — so there is no RNG state to
+    md5-derived 56-bit key (``datapipe.md5_long``, the same portable
+    idiom as ``stratified_sample``) — so there is no RNG state to
     coordinate across executors, re-running at any parallelism or
     partitioning yields the identical order, and changing ``seed``
-    reshuffles globally.  Position windows are per-shard (parallel, no
-    global sort); chunk ids break the (vanishingly unlikely) hash ties
-    so the order stays total.
+    reshuffles globally.  Chunk ids break the (vanishingly unlikely)
+    hash ties so the order stays total.
+
+    Positions use the same two-phase prefix technique as
+    ``pack_sequences``: a naive ``Window.partitionBy("shard")`` funnels
+    ~N/n_shards rows through ONE task per shard — with billions of
+    chunks and a handful of shards, a straggler/OOM funnel.  Instead the
+    keyed rows are range-partitioned by (shard, key), per-partition
+    per-shard counts come back as bounded metadata, and the exclusive
+    prefix is broadcast for a parallel within-partition window.
     """
+    from wotan_spark.spark.datapipe import md5_long
+
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    u = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.lit(str(int(seed))), F.col("chunk_id").cast("string"))),
-        1, 14), 16, 10).cast("long")
-    in_shard = Window.partitionBy("shard").orderBy("u", "chunk_id")
-    return (chunks.select("chunk_id", u.alias("u"))
-            .withColumn("shard", (F.col("u") % n_shards).cast("int"))
-            .withColumn("pos", F.row_number().over(in_shard) - 1)
-            .select("chunk_id", "shard", "pos"))
+    spark = chunks.sparkSession
+    n_par = partitions or max(int(spark.sparkContext.defaultParallelism), 4)
+    u = md5_long(F.concat_ws(
+        ":", F.lit(str(int(seed))), F.col("chunk_id").cast("string")))
+    keyed = (chunks.select("chunk_id", u.alias("u"))
+             .withColumn("shard", (F.col("u") % n_shards).cast("int"))
+             .repartitionByRange(n_par, "shard", "u", "chunk_id")
+             .withColumn("pid", F.spark_partition_id())
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = keyed.groupBy("pid", "shard").agg(
+        F.count("*").alias("c")).collect()
+    prefix_rows, acc = [], {}
+    for r in sorted(totals, key=lambda r: (r["shard"], r["pid"])):
+        prefix_rows.append((r["pid"], r["shard"], acc.get(r["shard"], 0)))
+        acc[r["shard"]] = acc.get(r["shard"], 0) + int(r["c"])
+    prefix_df = spark.createDataFrame(prefix_rows,
+                                      "pid int, shard int, part_off long")
+    in_pid = Window.partitionBy("pid", "shard").orderBy("u", "chunk_id")
+    out = (keyed.join(F.broadcast(prefix_df), ["pid", "shard"])
+           .withColumn("pos", F.col("part_off")
+                       + F.row_number().over(in_pid) - 1)
+           .select("chunk_id", "shard", "pos"))
+    # materialize before releasing the persisted frame: a lazy recompute
+    # could re-draw the range boundaries and skew every position
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    out = (out.checkpoint(eager=True) if reliable
+           else out.localCheckpoint(eager=True))
+    keyed.unpersist()
+    return out

@@ -114,7 +114,18 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _stage_done(self, name: str, fingerprint: str) -> bool:
-        return self.tables[name].find_snapshot(fingerprint=fingerprint) is not None
+        """Done iff the NEWEST config-stamped snapshot carries the current
+        fingerprint.  Matching any snapshot in history would make a config
+        switch-back (A -> B -> A) skip recompute while HEAD still serves
+        B's data.  Maintenance commits (compaction, retention) carry no
+        ``fingerprint`` key and are transparent to resume; incremental
+        tier merges stamp the config fingerprint and so keep a maintained
+        table 'done'."""
+        for m in reversed(self.tables[name].snapshots()):
+            fp = m.get("meta", {}).get("fingerprint")
+            if fp is not None:
+                return fp == fingerprint
+        return False
 
     def _commit_stage(self, name: str, df: DataFrame, fingerprint: str,
                       input_snapshot, run_id: str, t_start: float) -> int:
@@ -152,8 +163,15 @@ class Pipeline:
         if seq_df is None:
             raise ValueError("no sequences ingested")
 
+        if stop_after == "chunks" and not cfg.pack_context_len:
+            raise ValueError(
+                "stop_after='chunks' requires pack_context_len to be set")
         if cfg.pack_context_len:
-            pfp = cfg.pack_fingerprint()
+            # packing is a global re-bucketing, so unlike the tier tables
+            # it cannot be maintained by incremental merges: stamp the
+            # input snapshot into the stage fingerprint so any sequences
+            # growth (ingest or update_incremental) repacks on next run
+            pfp = f"{cfg.pack_fingerprint()}-in{seq_sid}"
             if not self._stage_done("chunks", pfp):
                 t0 = time.time()
                 from wotan_spark.spark.packing import pack_sequences
