@@ -87,6 +87,23 @@ def _grams(n: int) -> F.Column:
     return F.array_distinct(_grams_all(n))
 
 
+def _gram_hashes(n: int) -> F.Column:
+    """Distinct 64-bit hashes of the word n-grams, never materializing
+    the gram strings: one native ``xxhash64`` over the sliced word array
+    replaces per-gram ``concat_ws`` + md5/hex/substring/conv — the
+    measured hot subtree of the Jaccard index build.  Internal keys
+    only: equal grams hash equal, so pair output is identical up to
+    2^-64 collisions (a strictly better bar than the 56-bit md5 keys
+    this replaces; collisions degrade gracefully via the same
+    ``array_distinct`` bucket guard).  Same lazy ``when`` short-doc
+    guard as ``_grams_all`` — see that docstring."""
+    w = _words("text")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gh = F.transform(idx, lambda i: F.xxhash64(F.slice(w, i + 1, n)))
+    return F.array_distinct(F.when(F.size(w) >= n, gh).otherwise(
+        F.array().cast("array<bigint>")))
+
+
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per doc."""
     return (_spread(docs, "doc_id")
@@ -120,11 +137,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     # — referencing the transform expression from both size() and explode()
     # in one projection re-evaluates it per exploded row (~5x slower)
     sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
-          .select("doc_id", _grams(n).alias("gr"))
+          .select("doc_id", _gram_hashes(n).alias("gr"))
           .select("doc_id", F.size("gr").alias("n_sh"),
-                  F.explode("gr").alias("shingle"))
-          .select(md5_long(F.col("shingle")).alias("hv"),
-                  F.struct("doc_id", "n_sh").alias("m")))
+                  F.explode("gr").alias("hv"))
+          .select("hv", F.struct("doc_id", "n_sh").alias("m")))
     # array_distinct: a cross-shingle 56-bit hash collision would put the
     # same doc twice in one bucket and emit a self-pair / inflate the
     # intersection count — dedupe members so a rare collision degrades
@@ -168,9 +184,8 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     shrink.
     """
     sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
-          .select("doc_id", _grams(n).alias("gr"))
-          .select("doc_id", F.explode("gr").alias("shingle"))
-          .select("doc_id", md5_long(F.col("shingle")).alias("hv")))
+          .select("doc_id", _gram_hashes(n).alias("gr"))
+          .select("doc_id", F.explode("gr").alias("hv")))
     # per-doc shingle list in (df, hv) global order; the document frequency
     # comes from a count window over the single hv exchange — an
     # agg + self-join here would shuffle the same shingle set twice more
