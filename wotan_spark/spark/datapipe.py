@@ -414,11 +414,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     """Benchmark decontamination: the doc ids that share NO word n-gram
     with the benchmark set (the held-out eval data a training corpus must
     not contain).  The benchmark shingle set is small -> broadcast
-    left-semi probe; the corpus is scanned once and never shuffled."""
-    bench_sh = word_shingles(benchmark, n).select("shingle").distinct()
-    doc_sh = word_shingles(docs, n)
+    left-semi probe; the corpus is scanned once and never shuffled.
+    Both sides probe on 64-bit ``xxhash64`` gram keys (``_gram_hashes``),
+    never materializing gram strings: the broadcast hash table holds 8-byte
+    longs instead of ~n-word strings (at a 100k-gram benchmark that is the
+    difference between an ~1 MB and a multi-MB table shipped to every
+    executor), and a 2^-64 cross-side collision can only mark one extra doc
+    contaminated — conservative in the safe direction for decontamination."""
+    bench_sh = (_spread(benchmark, "doc_id")
+                .select(F.explode(_gram_hashes(n)).alias("hv")).distinct())
+    doc_sh = (_spread(docs, "doc_id")
+              .select("doc_id", F.explode(_gram_hashes(n)).alias("hv")))
     contaminated = (doc_sh
-                    .join(F.broadcast(bench_sh), "shingle", "left_semi")
+                    .join(F.broadcast(bench_sh), "hv", "left_semi")
                     .select("doc_id").distinct())
     return docs.select("doc_id").join(contaminated, "doc_id", "left_anti")
 
