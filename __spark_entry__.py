@@ -954,6 +954,21 @@ def q_cosine_topk_pq(spark, sf_dir):
         _emb(spark, sf_dir), **ANN_QUERY_PARAMS["cosine_topk_pq"])
 
 
+def q_tokenize_docs(spark, sf_dir):
+    """documents(text) -> canonical tokenized-sequence table: BPE-ish
+    pretokenize + deterministic md5-hash vocabulary (datapipe.
+    tokenize_documents), the raw-corpus -> sequence-engine bridge.
+    Token-array equality is checked exactly via an md5 over the
+    comma-joined ids (same convention as pack_sequences: array columns
+    stringify differently between pandas and DuckDB)."""
+    from wotan_spark.spark.datapipe import tokenize_documents
+    seq = tokenize_documents(_docs(spark, sf_dir), vocab_size=50257)
+    return seq.select(
+        "doc_id", "n_tok", "source",
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+
+
 def q_curation_funnel(spark, sf_dir):
     """One-call corpus curation funnel (quality -> exact dedup ->
     decontaminate -> near-dup removal -> stratified sample) with per-stage
@@ -1085,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _wrap(q_repetition_stats),
         "pack_sequences": _wrap(q_pack_sequences),
         "shard_chunks": _wrap(q_shard_chunks),
+        "tokenize_docs": _wrap(q_tokenize_docs),
     }
 
 
@@ -2531,6 +2547,24 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY u % 4
                                   ORDER BY u, chunk_id) - 1 AS pos
         FROM h
+    """
+
+    # token id = 56-bit md5-derived integer mod vocab, the engine-portable
+    # hash (datapipe.md5_long twin); regex dialect accepted by both Java
+    # regex and RE2
+    sqls["tokenize_docs"] = r"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS toks
+            FROM documents)
+        SELECT doc_id::VARCHAR AS doc_id,
+               len(toks)::INT AS n_tok,
+               source,
+               md5(array_to_string(list_transform(toks,
+                   t -> ((('0x' || substr(md5(t), 1, 14))::BIGINT % 50257)
+                         )::VARCHAR), ',')) AS tok_md5
+        FROM tok
     """
 
     return sqls

@@ -290,3 +290,27 @@ def test_repetition_stats_param_validation(spark):
     # doc 0 bigrams: "a b" x3 + "b a" x2 -> all duplicated; trigrams
     # "a b a" x2 + "b a b" x2 -> top share 0.5
     assert got == {0: (0.5, 1.0), 1: (None, 0.0)}
+
+
+def test_tokenize_documents_bridges_into_sequence_engine(spark):
+    """tokenize_documents emits the canonical tokenized-sequence schema
+    and its output flows straight into the detrend+rollup core."""
+    from wotan_spark.spark.datapipe import tokenize_documents
+    from wotan_spark.spark.rollup import detrend_rollup_fused
+    from wotan_spark.spark.synth import SEQUENCES_SCHEMA
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    seq = tokenize_documents(docs, vocab_size=997)
+    assert ([(f.name, f.dataType) for f in seq.schema.fields]
+            == [(f.name, f.dataType) for f in SEQUENCES_SCHEMA.fields])
+    rows = seq.collect()
+    assert all(r.n_tok == len(r.tokens) for r in rows)
+    assert all(0 <= t < 997 for r in rows for t in r.tokens)
+    # same text -> same ids, independent of partitioning (determinism)
+    again = {r.doc_id: r.tokens
+             for r in tokenize_documents(docs.repartition(7),
+                                         vocab_size=997).collect()}
+    assert all(again[r.doc_id] == r.tokens for r in rows)
+    # the bridge feeds the sequence engine directly
+    t10 = detrend_rollup_fused(seq, "median", window_length=5)
+    assert t10.count() > 0

@@ -1052,6 +1052,27 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct(bpe)).alias("n_bpe_types"))
 
 
+def tokenize_documents(docs: DataFrame, vocab_size: int = 50257) -> DataFrame:
+    """documents(text) -> the canonical tokenized-sequence table
+    (doc_id:string, tokens:array<int>, n_tok:int, source) — the bridge
+    from a raw text corpus to every sequence operator in this engine
+    (detrend, tier rollup, packing, sharding).  BPE-ish pretokenization
+    (GPT-2 split classes, ``BPE_TOKEN_RE``) followed by a deterministic
+    hash vocabulary: token id = 56-bit md5-derived integer mod
+    ``vocab_size``, portable across engines so an ANSI-SQL oracle
+    reproduces every id bit-exactly (xxhash64 would be faster but is
+    Spark-only; tokenization runs once per corpus and the contract here
+    is cross-engine determinism).  Map-side only: one corpus scan, no
+    shuffle, column pruning reaches the parquet reader."""
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    ids = F.transform(bpe, lambda t: (md5_long(t) % vocab_size).cast("int"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        ids.alias("tokens"),
+        F.size(bpe).cast("int").alias("n_tok"),
+        "source")
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language id: share of known-English stopwords among
     distinct words -> 'en' vs 'other' (deterministic, oracle-friendly)."""
