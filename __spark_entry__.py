@@ -494,6 +494,16 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def q_decontaminate_frac(spark, sf_dir):
+    """Fractional-overlap decontamination (GPT-3-appendix-C-style): a doc
+    is dropped only when MORE than half its distinct 5-grams appear in
+    the benchmark subset — broadcast inner join + per-doc hit count."""
+    from wotan_spark.spark.datapipe import decontaminate
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=5, max_overlap=0.5)
+
+
 def q_dedup_components(spark, sf_dir):
     """Dedup clustering: connected components of the exact n-gram near-dup
     pair graph (min-label propagation; the step that turns pair lists into
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _wrap(q_pack_sequences),
         "shard_chunks": _wrap(q_shard_chunks),
         "tokenize_docs": _wrap(q_tokenize_docs),
+        "decontaminate_frac": _wrap(q_decontaminate_frac),
     }
 
 
@@ -2547,6 +2558,18 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY u % 4
                                   ORDER BY u, chunk_id) - 1 AS pos
         FROM h
+    """
+
+    sqls["decontaminate_frac"] = f"""
+        WITH sh AS ({_SHINGLES5}),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        tot AS (SELECT doc_id, count(*) AS n_gr FROM sh GROUP BY 1),
+        hit AS (SELECT doc_id, count(*) AS n_hit FROM sh
+                WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1),
+        bad AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+                WHERE h.n_hit > t.n_gr * 0.5)
+        SELECT doc_id FROM documents
+        EXCEPT SELECT doc_id FROM bad
     """
 
     # token id = 56-bit md5-derived integer mod vocab, the engine-portable

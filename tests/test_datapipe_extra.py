@@ -314,3 +314,28 @@ def test_tokenize_documents_bridges_into_sequence_engine(spark):
     # the bridge feeds the sequence engine directly
     t10 = detrend_rollup_fused(seq, "median", window_length=5)
     assert t10.count() > 0
+
+
+def test_decontaminate_fractional_overlap(spark):
+    """max_overlap gates on the fraction of a doc's distinct 5-grams in
+    the benchmark: a long doc brushing one benchmark phrase survives,
+    a doc that mostly IS benchmark text is dropped."""
+    from pyspark.sql import functions as F
+
+    from wotan_spark.spark.datapipe import decontaminate
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, bench_text),                                   # the benchmark
+         (1, bench_text + " eta"),                          # mostly bench:
+                                                            # 2 of 3 grams hit
+         (2, "alpha beta gamma delta epsilon " +            # 1 shared gram,
+             "one two three four five six seven eight " +   # many own grams
+             "nine ten eleven twelve thirteen fourteen"),
+         (3, "totally unrelated words in this document here")],
+        "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    strict = {r.doc_id for r in decontaminate(docs, bench, n=5).collect()}
+    frac = {r.doc_id for r in decontaminate(docs, bench, n=5,
+                                            max_overlap=0.5).collect()}
+    assert strict == {3}          # any shared gram kills 0, 1, 2
+    assert frac == {2, 3}         # doc 2's single hit is under 50%

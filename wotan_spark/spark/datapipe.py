@@ -410,7 +410,7 @@ def token_histogram(docs: DataFrame, top_k: int = 50) -> DataFrame:
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
-                  n: int = 5) -> DataFrame:
+                  n: int = 5, max_overlap: float = 0.0) -> DataFrame:
     """Benchmark decontamination: the doc ids that share NO word n-gram
     with the benchmark set (the held-out eval data a training corpus must
     not contain).  The benchmark shingle set is small -> broadcast
@@ -420,14 +420,38 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     longs instead of ~n-word strings (at a 100k-gram benchmark that is the
     difference between an ~1 MB and a multi-MB table shipped to every
     executor), and a 2^-64 cross-side collision can only mark one extra doc
-    contaminated — conservative in the safe direction for decontamination."""
+    contaminated — conservative in the safe direction for decontamination.
+
+    ``max_overlap`` > 0 switches to fractional-overlap semantics (the
+    GPT-3-appendix-C-style gate): a doc survives unless MORE than that
+    fraction of its distinct n-grams appear in the benchmark — a single
+    idiomatic phrase no longer nukes a long document.  Same single corpus
+    scan; the semi-join probe becomes a broadcast inner join + per-doc
+    count aggregation (partial map-side combine keyed on doc_id, so the
+    exchange carries one row per doc with >=1 hit, not one per hit).
+    Docs too short to produce any n-gram have no grams to overlap and
+    always survive, in both modes."""
     bench_sh = (_spread(benchmark, "doc_id")
                 .select(F.explode(_gram_hashes(n)).alias("hv")).distinct())
-    doc_sh = (_spread(docs, "doc_id")
-              .select("doc_id", F.explode(_gram_hashes(n)).alias("hv")))
-    contaminated = (doc_sh
-                    .join(F.broadcast(bench_sh), "hv", "left_semi")
-                    .select("doc_id").distinct())
+    if max_overlap <= 0.0:
+        doc_sh = (_spread(docs, "doc_id")
+                  .select("doc_id", F.explode(_gram_hashes(n)).alias("hv")))
+        contaminated = (doc_sh
+                        .join(F.broadcast(bench_sh), "hv", "left_semi")
+                        .select("doc_id").distinct())
+    else:
+        # one gram-array evaluation, staged so size() and explode() share it
+        # (the same re-evaluation trap as ngram_jaccard_pairs)
+        doc_sh = (_spread(docs, "doc_id")
+                  .select("doc_id", _gram_hashes(n).alias("gr"))
+                  .select("doc_id", F.size("gr").alias("n_gr"),
+                          F.explode("gr").alias("hv")))
+        contaminated = (doc_sh
+                        .join(F.broadcast(bench_sh), "hv", "inner")
+                        .groupBy("doc_id", "n_gr")
+                        .agg(F.count("*").alias("n_hit"))
+                        .filter(F.col("n_hit") > F.col("n_gr") * max_overlap)
+                        .select("doc_id"))
     return docs.select("doc_id").join(contaminated, "doc_id", "left_anti")
 
 
