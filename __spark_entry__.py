@@ -979,6 +979,36 @@ def q_tokenize_docs(spark, sf_dir):
             "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
 
 
+def q_downsample_m4(spark, sf_dir):
+    """M4 pixel-bucket downsample (Jugel et al., PVLDB 2014): per
+    (series, bucket) the first/last/min/max points — error-free line
+    rendering at the bucket width.  Packed, shuffle-free; oracle is the
+    exact SQL over the events-derived longform points with
+    earliest-t tie-breaks on the extrema."""
+    from wotan_spark.spark.downsample import downsample_m4
+    from wotan_spark.spark.synth import sequences_from_events
+    return downsample_m4(sequences_from_events(spark, sf_dir), factor=64)
+
+
+def q_downsample_lttb(spark, sf_dir):
+    """LTTB downsample (Steinarsson 2013) to 64 points/series.  The
+    greedy triangle selection is sequential per bucket — not
+    SQL-expressible — so the oracle pins the pytest-proven kernel's
+    output per doc: selection-order t-index md5 + left-fold y sum
+    (scripts/gen_lttb_pins.py)."""
+    from wotan_spark.spark.downsample import downsample_lttb
+    from wotan_spark.spark.synth import sequences_from_events
+    pts = downsample_lttb(sequences_from_events(spark, sf_dir), n_out=64)
+    ordered = F.array_sort(F.collect_list(F.struct("rank", "t", "y")))
+    return pts.groupBy("doc_id").agg(
+        F.count("*").alias("n_sel"),
+        F.md5(F.concat_ws(",", F.transform(
+            ordered, lambda s: s["t"].cast("string")))).alias("t_md5"),
+        F.round(F.aggregate(F.transform(ordered, lambda s: s["y"]),
+                            F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("y_sum"))
+
+
 def q_curation_funnel(spark, sf_dir):
     """One-call corpus curation funnel (quality -> exact dedup ->
     decontaminate -> near-dup removal -> stratified sample) with per-stage
@@ -1112,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_chunks": _wrap(q_shard_chunks),
         "tokenize_docs": _wrap(q_tokenize_docs),
         "decontaminate_frac": _wrap(q_decontaminate_frac),
+        "downsample_m4": _wrap(q_downsample_m4),
+        "downsample_lttb": _wrap(q_downsample_lttb),
     }
 
 
@@ -2559,6 +2591,52 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY u, chunk_id) - 1 AS pos
         FROM h
     """
+
+    def _lttb_pins_sql(path: str) -> str:
+        import json as _json
+        with open(path) as _f:
+            _pins = _json.load(_f)
+        _vals = ", ".join(
+            f"('{p['doc_id']}', {p['n_sel']}, '{p['t_md5']}', "
+            f"{p['y_sum']!r}::DOUBLE)" for p in _pins)
+        return (f"SELECT doc_id, n_sel, t_md5, y_sum "
+                f"FROM (VALUES {_vals}) AS v(doc_id, n_sel, t_md5, y_sum)")
+
+    # M4: exact SQL twin over the events-derived longform points; extrema
+    # tie-break = earliest t, matching np.argmin/argmax first-occurrence
+    sqls["downsample_m4"] = """
+        WITH seq AS (
+            SELECT 'user_' || user_id AS doc_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   round(value * 1000)::INT AS tok
+            FROM events),
+        lim AS (SELECT doc_id, t, 1.0 + tok / 1e6 AS y
+                FROM seq WHERE t < 4096),
+        ext AS (SELECT doc_id, t // 64 AS bucket, count(*)::BIGINT AS n,
+                       min(t) AS t_first, max(t) AS t_last,
+                       min(y) AS y_min, max(y) AS y_max
+                FROM lim GROUP BY 1, 2)
+        SELECT e.doc_id, e.bucket, e.n,
+               e.t_first, pf.y AS y_first,
+               e.t_last, pl.y AS y_last,
+               (SELECT min(p.t) FROM lim p WHERE p.doc_id = e.doc_id
+                    AND p.t // 64 = e.bucket AND p.y = e.y_min) AS t_min,
+               e.y_min,
+               (SELECT min(p.t) FROM lim p WHERE p.doc_id = e.doc_id
+                    AND p.t // 64 = e.bucket AND p.y = e.y_max) AS t_max,
+               e.y_max
+        FROM ext e
+        JOIN lim pf ON pf.doc_id = e.doc_id AND pf.t = e.t_first
+        JOIN lim pl ON pl.doc_id = e.doc_id AND pl.t = e.t_last
+    """
+
+    try:
+        sqls["downsample_lttb"] = _lttb_pins_sql(
+            os.path.join(_REPO, "wotan_spark", "data",
+                         "lttb_pins_sf0.01.json"))
+    except OSError:  # pins absent -> rows-only check
+        pass
 
     sqls["decontaminate_frac"] = f"""
         WITH sh AS ({_SHINGLES5}),

@@ -54,3 +54,14 @@ def test_pins_match_live_kernel(key):
         assert pin["n_pts"] == len(good), (key, user_id)
         assert pin["flat_sum"] == round_half_up(
             flat_sum, spec.get("decimals", 6)), (key, user_id)
+
+
+def test_lttb_pins_match_live_kernel():
+    from scripts.gen_lttb_pins import pins_for
+    path = os.path.join(REPO, "wotan_spark", "data",
+                        "lttb_pins_sf0.01.json")
+    pins = {p["doc_id"]: p for p in json.load(open(path))}
+    live = {p["doc_id"]: p for p in pins_for(SF_DIR)}
+    check = [f"user_{i}" for i in range(N_CHECK)]
+    for doc_id in check:
+        assert pins[doc_id] == live[doc_id], doc_id
