@@ -1009,6 +1009,24 @@ def q_downsample_lttb(spark, sf_dir):
         .alias("y_sum"))
 
 
+def q_hist_quantile_t100(spark, sf_dir):
+    """Mergeable-histogram continuous aggregate: tier-10 fixed-bin
+    histograms (packed, no shuffle) -> tier-100 by EXACT additive
+    cascade -> p90 per bucket via pure-Catalyst bin walk.  The oracle
+    recomputes the identical sketch in SQL (same IEEE double bin edges:
+    width is written as (1.6-1.0)/64, never a rounded literal, and the
+    rank target uses 0.9::DOUBLE so both engines ceil the same
+    9.000000000000002-style products)."""
+    from wotan_spark.spark.histogram import (cascade_histogram,
+                                             histogram_quantile,
+                                             tier_histogram)
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    t10 = tier_histogram(seq, factor=10, n_bins=64, lo=1.0, hi=1.6)
+    t100 = cascade_histogram(t10, step=10)
+    return histogram_quantile(t100, 0.9, n_bins=64, lo=1.0, hi=1.6)
+
+
 def q_curation_funnel(spark, sf_dir):
     """One-call corpus curation funnel (quality -> exact dedup ->
     decontaminate -> near-dup removal -> stratified sample) with per-stage
@@ -1144,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_frac": _wrap(q_decontaminate_frac),
         "downsample_m4": _wrap(q_downsample_m4),
         "downsample_lttb": _wrap(q_downsample_lttb),
+        "hist_quantile_t100": _wrap(q_hist_quantile_t100),
     }
 
 
@@ -2637,6 +2656,45 @@ def oracle_sql() -> dict[str, str]:
                          "lttb_pins_sf0.01.json"))
     except OSError:  # pins absent -> rows-only check
         pass
+
+    # histogram-sketch quantile: recompute the identical fixed-bin sketch
+    # in SQL.  Every float op mirrors the engine's expression order so the
+    # result is bit-equal: width = (1.6-1.0)/64 (NOT 0.009375 — the
+    # subtraction is inexact), 0.9::DOUBLE (a DECIMAL 0.9 would ceil
+    # differently), and the interpolation keeps (target - (cum - cnt)).
+    sqls["hist_quantile_t100"] = """
+        WITH seq AS (
+            SELECT 'user_' || user_id AS doc_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   round(value * 1000)::INT AS tok
+            FROM events),
+        lim AS (SELECT doc_id, t, 1.0::DOUBLE + tok / 1e6 AS y
+                FROM seq WHERE t < 4096),
+        pts AS (SELECT doc_id, t // 100 AS bucket,
+                       floor((y - 1.0::DOUBLE)
+                             / ((1.6::DOUBLE - 1.0::DOUBLE) / 64))::BIGINT
+                           AS bin
+                FROM lim),
+        tgt AS (SELECT doc_id, bucket,
+                       ceil(0.9::DOUBLE * count(*) FILTER
+                            (WHERE bin >= 0 AND bin < 64))::BIGINT AS target
+                FROM pts GROUP BY 1, 2
+                HAVING count(*) FILTER (WHERE bin >= 0 AND bin < 64) > 0),
+        bins AS (SELECT doc_id, bucket, bin, count(*)::BIGINT AS cnt
+                 FROM pts WHERE bin >= 0 AND bin < 64 GROUP BY 1, 2, 3),
+        cum AS (SELECT b.doc_id, b.bucket, b.bin, b.cnt, t.target,
+                       sum(b.cnt) OVER (PARTITION BY b.doc_id, b.bucket
+                                        ORDER BY b.bin) AS cum
+                FROM bins b JOIN tgt t USING (doc_id, bucket)),
+        hit AS (SELECT *, row_number() OVER (PARTITION BY doc_id, bucket
+                                             ORDER BY bin) AS rk
+                FROM cum WHERE cum >= target)
+        SELECT doc_id, bucket, 0.9::DOUBLE AS q,
+               1.0::DOUBLE + ((1.6::DOUBLE - 1.0::DOUBLE) / 64)
+                   * (bin + (target - (cum - cnt)) / cnt) AS value
+        FROM hit WHERE rk = 1
+    """
 
     sqls["decontaminate_frac"] = f"""
         WITH sh AS ({_SHINGLES5}),
