@@ -130,8 +130,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     counts, one shuffle groups (doc_id, n_sh) members per shingle bucket,
     pairs expand inside the bucket (array combinations, no self-join — a
     self-join would evaluate the shingle subtree twice), and one final
-    shuffle aggregates intersection counts per pair.  Join keys are 56-bit
-    md5-derived longs, not shingle strings: ~3x smaller shuffle rows.
+    shuffle aggregates intersection counts per pair.  Join keys are 64-bit
+    xxhash64 longs over the sliced word arrays (``_gram_hashes``), never
+    shingle strings: ~3x smaller shuffle rows and no per-gram string
+    materialization on the scan.
     """
     # two-step select: materialize the gram array once, THEN size+explode it
     # — referencing the transform expression from both size() and explode()
@@ -141,7 +143,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
           .select("doc_id", F.size("gr").alias("n_sh"),
                   F.explode("gr").alias("hv"))
           .select("hv", F.struct("doc_id", "n_sh").alias("m")))
-    # array_distinct: a cross-shingle 56-bit hash collision would put the
+    # array_distinct: a cross-shingle 64-bit hash collision would put the
     # same doc twice in one bucket and emit a self-pair / inflate the
     # intersection count — dedupe members so a rare collision degrades
     # gracefully (negligible probability, nonzero at 10^12-doc scale)

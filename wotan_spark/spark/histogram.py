@@ -77,6 +77,8 @@ def tier_histogram(sequences: DataFrame, factor: int = 10,
                    hi: float = 1.01) -> DataFrame:
     """Per-(series, ``t div factor``) fixed-bin histogram rows from the
     packed sequence table.  One mapInPandas pass, no shuffle."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
     if n_bins < 1 or not hi > lo:
         raise ValueError("need n_bins >= 1 and hi > lo")
 
