@@ -2376,15 +2376,30 @@ def oracle_sql() -> dict[str, str]:
     # (doc_id, flat_sum, n_pts).  A driver hash match therefore proves the
     # distributed mapInPandas path reproduces the proven kernel exactly.
     # Regenerate the pins with the script if the driver testdata changes.
-    def _pins_sql(path: str) -> str:
+    def _pins_values_sql(path: str, cols: tuple, dbl: frozenset) -> str:
+        """Pinned-golden VALUES oracle from a pins JSON: strings quote,
+        ``dbl`` columns pin the exact repr as DOUBLE, ints stay bare.
+        One builder for every pins file so quoting/IO handling can never
+        drift between pin families."""
         import json as _json
         with open(path) as _f:
             _pins = _json.load(_f)
+
+        def _lit(p, c):
+            v = p[c]
+            if c in dbl:
+                return f"{v!r}::DOUBLE"
+            return f"'{v}'" if isinstance(v, str) else repr(v)
+
+        _names = ", ".join(cols)
         _vals = ", ".join(
-            f"('{p['doc_id']}', {p['flat_sum']!r}::DOUBLE, {p['n_pts']})"
-            for p in _pins)
-        return (f"SELECT doc_id, flat_sum, n_pts "
-                f"FROM (VALUES {_vals}) AS v(doc_id, flat_sum, n_pts)")
+            "(" + ", ".join(_lit(p, c) for c in cols) + ")" for p in _pins)
+        return (f"SELECT {_names} "
+                f"FROM (VALUES {_vals}) AS v({_names})")
+
+    def _pins_sql(path: str) -> str:
+        return _pins_values_sql(path, ("doc_id", "flat_sum", "n_pts"),
+                                frozenset({"flat_sum"}))
 
     _data = os.path.join(_REPO, "wotan_spark", "data")
     try:
@@ -2612,14 +2627,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     def _lttb_pins_sql(path: str) -> str:
-        import json as _json
-        with open(path) as _f:
-            _pins = _json.load(_f)
-        _vals = ", ".join(
-            f"('{p['doc_id']}', {p['n_sel']}, '{p['t_md5']}', "
-            f"{p['y_sum']!r}::DOUBLE)" for p in _pins)
-        return (f"SELECT doc_id, n_sel, t_md5, y_sum "
-                f"FROM (VALUES {_vals}) AS v(doc_id, n_sel, t_md5, y_sum)")
+        return _pins_values_sql(path, ("doc_id", "n_sel", "t_md5", "y_sum"),
+                                frozenset({"y_sum"}))
 
     # M4: exact SQL twin over the events-derived longform points; extrema
     # tie-break = earliest t, matching np.argmin/argmax first-occurrence

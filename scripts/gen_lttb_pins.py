@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import math
 import os
 import sys
 
@@ -35,23 +34,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from scripts.gen_method_pins import round_half_up  # noqa: E402
 from wotan_spark.kernels.downsample import lttb_indices  # noqa: E402
 
 MAX_TOKENS = 4096
 N_OUT = 64
 
 
-def round_half_up(x: float, decimals: int) -> float:
-    s = 10.0 ** decimals
-    return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
-
-
-def pins_for(sf_dir: str) -> list[dict]:
+def pins_for(sf_dir: str, limit: int | None = None) -> list[dict]:
+    """Pins for all users, or (``limit``) only ``user_id < limit`` — the
+    cheap subset the freshness test checks."""
+    where = f"WHERE user_id < {int(limit)}" if limit is not None else ""
     con = duckdb.connect()
     rows = con.sql(f"""
         SELECT user_id,
                list(round(value * 1000)::INT ORDER BY ts, event_id) AS toks
-        FROM read_parquet('{sf_dir}/events.parquet')
+        FROM read_parquet('{sf_dir}/events.parquet') {where}
         GROUP BY user_id ORDER BY user_id
     """).fetchall()
     con.close()

@@ -41,6 +41,19 @@ def test_bucket_histograms_match_numpy_histogram():
         assert above[i] == np.sum(seg >= 1.01)
 
 
+def test_bucket_histograms_degenerate_range_classifies_on_float():
+    """A tiny [lo, hi) range pushes (y-lo)/width past 2^63; the int64
+    cast used to wrap to INT64_MIN and misfile above-range samples as
+    n_below.  Classification must happen on the float scale."""
+    y = np.array([-1e308, 1.0, 1e308])
+    ids, n, below, above, M = _bucket_histograms(
+        y, factor=4, n_bins=1, lo=0.0, hi=1e-18)
+    assert n.tolist() == [3]
+    assert below.tolist() == [1]           # only the -1e308 sample
+    assert above.tolist() == [2]           # 1.0 and 1e308 are above hi
+    assert M[0].tolist() == [0]
+
+
 def test_cascade_is_exact_additive_merge(spark):
     """tier-100 cascaded from tier-10 must equal the directly computed
     tier-100 histogram — bin counts are additive, merge introduces zero

@@ -61,7 +61,7 @@ def test_lttb_pins_match_live_kernel():
     path = os.path.join(REPO, "wotan_spark", "data",
                         "lttb_pins_sf0.01.json")
     pins = {p["doc_id"]: p for p in json.load(open(path))}
-    live = {p["doc_id"]: p for p in pins_for(SF_DIR)}
+    live = {p["doc_id"]: p for p in pins_for(SF_DIR, N_CHECK)}
     check = [f"user_{i}" for i in range(N_CHECK)]
     for doc_id in check:
         assert pins[doc_id] == live[doc_id], doc_id

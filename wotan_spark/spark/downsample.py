@@ -48,6 +48,8 @@ def downsample_m4(sequences: DataFrame, factor: int = 100) -> DataFrame:
     the first/last/min/max points — the 4-tuple that renders the exact
     same line as the raw data at that horizontal resolution.  All-gap
     buckets emit no row.  Packed, shuffle-free."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["bucket", "n", "t_first", "y_first", "t_last", "y_last",
@@ -76,6 +78,8 @@ def downsample_lttb(sequences: DataFrame, n_out: int = 1000) -> DataFrame:
     (doc_id, rank, t, y) with rank = selection order = ascending t.
     Series with <= n_out valid points pass through whole.  Packed,
     shuffle-free."""
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + interior)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

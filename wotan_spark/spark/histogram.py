@@ -58,11 +58,16 @@ def _bucket_histograms(y: np.ndarray, factor: int, n_bins: int,
     ok = ~np.isnan(y)
     yv = y[ok]
     bv = buck[ok]
-    raw = np.floor((yv - lo) / width).astype(np.int64)
-    below = raw < 0
-    above = raw >= n_bins
+    # classify on the FLOAT scale before any int cast: a degenerate range
+    # (tiny width) can push (y - lo)/width past 2^63, where an int64 cast
+    # wraps to INT64_MIN and would misfile above-range samples as n_below
+    with np.errstate(over="ignore"):   # huge/width -> inf, lands in above
+        scaled = (yv - lo) / width
+    below = scaled < 0.0
+    above = scaled >= n_bins
     inr = ~(below | above)
-    flat = np.bincount(bv[inr] * n_bins + raw[inr],
+    raw = np.floor(scaled[inr]).astype(np.int64)
+    flat = np.bincount(bv[inr] * n_bins + raw,
                        minlength=nb * n_bins).reshape(nb, n_bins)
     n_below = np.bincount(bv[below], minlength=nb)
     n_above = np.bincount(bv[above], minlength=nb)
