@@ -1,0 +1,77 @@
+"""Mergeable HLL distinct-count sketches as continuous-aggregate tiers.
+
+Completes the sketch family next to the additive histogram tiers
+(``spark/histogram.py``): "how many DISTINCT token values per retention
+bucket" is not derivable from count/sum/min/max rollups and is not
+additive — two buckets with 10 distinct tokens each may share any number
+of them.  HyperLogLog sketches ARE mergeable: ``union(sketch(A),
+sketch(B)) == sketch(A ∪ B)`` exactly (the union is over register
+maxima), so coarser tiers cascade from finer ones without re-reading raw
+data — the same continuous-aggregate property the histogram tiers get
+from vector addition.
+
+Built on Spark's native Apache DataSketches integration
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``,
+JVM-side, codegen'd partial aggregation) — no UDF anywhere in the plan.
+
+Exactness envelope (verified empirically at sf0.01 AND sf0.1, zero
+mismatches vs ``COUNT(DISTINCT)``): a DataSketches HLL_4 sketch at
+``lgk=12`` stays in exact coupon (LIST/SET) mode until ~512 distinct
+values, so tier-10 (<=10 distinct) and tier-100 (<=100 distinct) buckets
+report EXACT distinct counts — the driver oracle compares equal.  Past
+the coupon range the sketch degrades gracefully to the classic ~1.6%
+HLL error (lgk=12) while staying deterministic and mergeable; callers
+counting distincts over much coarser buckets should treat the result as
+an estimate, as with any HLL.
+
+Scale shape: the tier-10 build is ONE partial-aggregated shuffle —
+``posexplode`` feeds map-side ``hll_sketch_agg``, so only finished
+(doc_id, bucket, sketch) rows cross the exchange (n_tokens/factor rows
+of a few hundred bytes, not raw tokens).  Cascades group ``step``
+sketches per output row.  Gap sentinels are excluded before sketching on
+both sides (a gap is not a value).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def tier_distinct(sequences: DataFrame, factor: int = 10,
+                  lgk: int = 12) -> DataFrame:
+    """Per-(series, ``t div factor``) HLL sketch of distinct token values
+    from the packed sequence table: (doc_id, bucket, sk).
+
+    One partial-aggregated shuffle; gap sentinels dropped first.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if not 4 <= lgk <= 21:                 # datasketches HLL bounds
+        raise ValueError("lgk must be in [4, 21]")
+    pts = (sequences
+           .select("doc_id", F.posexplode("tokens").alias("t", "token"))
+           .filter(F.col("token") != -2147483648))
+    return (pts.groupBy("doc_id",
+                        (F.col("t") / factor).cast("long").alias("bucket"))
+            .agg(F.hll_sketch_agg("token", F.lit(lgk)).alias("sk")))
+
+
+def cascade_distinct(tier: DataFrame, step: int = 10) -> DataFrame:
+    """Coarser-tier sketches from finer-tier ones by HLL union — exact
+    merge, never re-reads raw data.  One partial-aggregated groupBy over
+    ``step`` sketch rows per output group."""
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    return (tier.groupBy("doc_id",
+                         (F.col("bucket") / step).cast("long")
+                         .alias("bucket"))
+            .agg(F.hll_union_agg("sk").alias("sk")))
+
+
+def distinct_counts(tier: DataFrame) -> DataFrame:
+    """Materialize estimates from a sketch tier:
+    (doc_id, bucket, n_distinct)."""
+    return tier.select(
+        "doc_id", "bucket",
+        F.hll_sketch_estimate("sk").alias("n_distinct"))
