@@ -706,6 +706,33 @@ def q_sessionize(spark, sf_dir):
                     "n", "y_sum"))
 
 
+def q_interval_sessions(spark, sf_dir):
+    """Bucketized interval-containment join (`joins.interval_join`):
+    every event is assigned its gap-based session window by exploding
+    sessions over hour buckets and equi-joining on (user, bucket) — a
+    plain shuffle-hash join, plan-asserted never a nested loop, where the
+    naive t BETWEEN s AND e formulation degenerates to
+    BroadcastNestedLoopJoin.  Oracle is the inequality join over the
+    lag/cumsum-rebuilt sessions."""
+    from wotan_spark.spark.joins import interval_join
+    ev = _events(spark, sf_dir)
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    sess = (ev.groupBy("user_id", sw)
+            .agg(F.count("*").alias("n"))
+            .select("user_id",
+                    F.unix_micros("session_window.start").alias("s_start"),
+                    F.unix_micros("session_window.end").alias("s_end"),
+                    "n"))
+    pts = ev.select("user_id", "event_id",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+    out = interval_join(pts, sess, on="user_id", point_col="t",
+                        start_col="s_start", end_col="s_end",
+                        bucket_width=3_600_000_000)
+    return out.select("user_id", "event_id", "t",
+                      F.col("s_start_iv").alias("s_start"),
+                      F.col("n_iv").alias("n"))
+
+
 def q_rollup_hierarchy(spark, sf_dir):
     """Multi-level tier aggregate in ONE pass via ROLLUP grouping sets:
     (user_id, bucket) -> (user_id) -> () super-aggregates, the relational
@@ -1178,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_lttb": _wrap(q_downsample_lttb),
         "hist_quantile_t100": _wrap(q_hist_quantile_t100),
         "distinct_t100_union": _wrap(q_distinct_t100_union),
+        "interval_sessions": _wrap(q_interval_sessions),
     }
 
 
@@ -2734,6 +2762,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, t // 100 AS bucket,
                count(DISTINCT tok)::BIGINT AS n_distinct
         FROM seq WHERE t < 4096 GROUP BY 1, 2
+    """
+
+    # interval containment: sessions rebuilt with the lag/cumsum rule
+    # (same CTE as the sessionize oracle), then the direct inequality
+    # join DuckDB handles fine at oracle scale
+    sqls["interval_sessions"] = """
+        WITH pts AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t_us
+            FROM events),
+        marked AS (
+            SELECT *, CASE WHEN t_us - lag(t_us) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS brk
+            FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        sess AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked),
+        win AS (
+            SELECT user_id, min(t_us) AS s_start,
+                   max(t_us) + 1800000000 AS s_end, count(*) AS n
+            FROM sess GROUP BY user_id, sid)
+        SELECT p.user_id, p.event_id, p.t_us AS t, w.s_start, w.n
+        FROM pts p JOIN win w
+          ON p.user_id = w.user_id
+         AND p.t_us >= w.s_start AND p.t_us < w.s_end
     """
 
     sqls["decontaminate_frac"] = f"""

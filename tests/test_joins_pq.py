@@ -143,3 +143,102 @@ def test_asof_join_property_vs_pandas(spark):
         b = want["p"].to_numpy(dtype=float)
         ok = np.isclose(a, b) | (np.isnan(a) & np.isnan(b))
         assert ok.all(), (trial, got[~ok], want[~ok])
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+
+
+def _iv_frames(spark):
+    pts = spark.createDataFrame(
+        [("a", 0, "p0"), ("a", 5, "p1"), ("a", 10, "p2"), ("a", 99, "p3"),
+         ("b", 5, "p4"), ("c", 1, "p5")],
+        "k string, t long, tag string")
+    ivs = spark.createDataFrame(
+        [("a", 0, 10, "i0"),       # [0,10): catches t=0,5 not 10
+         ("a", 5, 200, "i1"),      # long interval spanning many buckets
+         ("a", 7, 7, "i2"),        # empty: matches nothing
+         ("b", 6, 8, "i3"),        # misses b@5
+         ("d", 0, 100, "i4")],     # key with no points
+        "k string, s long, e long, name string")
+    return pts, ivs
+
+
+def test_interval_join_half_open_semantics(spark):
+    from wotan_spark.spark.joins import interval_join
+    pts, ivs = _iv_frames(spark)
+    got = {(r.k, r.t, r.name_iv)
+           for r in interval_join(pts, ivs, on="k", point_col="t",
+                                  start_col="s", end_col="e",
+                                  bucket_width=4).collect()}
+    assert got == {("a", 0, "i0"),           # t=start included
+                   ("a", 5, "i0"), ("a", 5, "i1"),   # overlap: both match
+                   ("a", 10, "i1"),          # t=10 == i0.end excluded
+                   ("a", 99, "i1")}          # far bucket of the long one
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from wotan_spark.spark.joins import interval_join
+    pts, ivs = _iv_frames(spark)
+    out = interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                        end_col="e", bucket_width=4, how="left")
+    rows = {(r.k, r.t): r.name_iv for r in
+            out.filter(F.col("name_iv").isNull()).collect()}
+    assert rows == {("b", 5): None, ("c", 1): None}
+    assert out.count() == 7                  # 5 matches + 2 null rows
+
+
+def test_interval_join_matches_bruteforce_property(spark):
+    """Random integer AND float inputs (negative times included) against
+    the O(n*m) definition; every bucket-width must give the same set."""
+    rng = np.random.default_rng(7)
+    n_p, n_i = 200, 60
+    pk = rng.integers(0, 4, n_p)
+    pt = rng.integers(-500, 500, n_p)
+    ik = rng.integers(0, 4, n_i)
+    s = rng.integers(-520, 480, n_i)
+    ln = rng.integers(0, 90, n_i)
+    for as_float in (False, True):
+        typ = "double" if as_float else "long"
+        cast = float if as_float else int
+        pts = spark.createDataFrame(
+            [(f"k{k}", cast(t), i) for i, (k, t) in enumerate(zip(pk, pt))],
+            f"k string, t {typ}, pid long")
+        ivs = spark.createDataFrame(
+            [(f"k{k}", cast(a), cast(a + l), i)
+             for i, (k, a, l) in enumerate(zip(ik, s, ln))],
+            f"k string, s {typ}, e {typ}, iid long")
+        want = {(int(pi), int(ii))
+                for pi, (kp, tp) in enumerate(zip(pk, pt))
+                for ii, (ki, a, l) in enumerate(zip(ik, s, ln))
+                if kp == ki and a <= tp < a + l}
+        from wotan_spark.spark.joins import interval_join
+        for w in (1, 7, 64, 1000):
+            got = {(r.pid, r.iid_iv)
+                   for r in interval_join(
+                       pts, ivs, on="k", point_col="t", start_col="s",
+                       end_col="e",
+                       bucket_width=float(w) if as_float else w).collect()}
+            assert got == want, (as_float, w)
+
+
+def test_interval_join_plans_equi_join_not_nested_loop(spark):
+    """The whole point: the plan must contain a hash/sort-merge EQUI join,
+    never a BroadcastNestedLoopJoin or CartesianProduct."""
+    from wotan_spark.spark.joins import interval_join
+    pts, ivs = _iv_frames(spark)
+    plan = interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                         end_col="e", bucket_width=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_interval_join_validates_params(spark):
+    import pytest
+    from wotan_spark.spark.joins import interval_join
+    pts, ivs = _iv_frames(spark)
+    with pytest.raises(ValueError, match="how"):
+        interval_join(pts, ivs, "k", "t", "s", "e", 4, how="outer")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pts, ivs, "k", "t", "s", "e", 0)

@@ -1,4 +1,4 @@
-"""Time-series joins: as-of (nearest-in-time alignment) over co-partitioned keys.
+"""Time-series joins: as-of alignment and interval containment over co-partitioned keys.
 
 The reference library has no joins (SURVEY.md §2.5 — its only join-like
 operation is the positional trend transplant), but a rollup engine over
@@ -121,3 +121,74 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
                .alias(f"{c}{suffix}") for c in payload]
 
     return (u.select(*keys, F.col("__t").alias(left_time), *carry, *sel))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  on: list[str] | str, point_col: str,
+                  start_col: str, end_col: str,
+                  bucket_width: int | float,
+                  how: str = "inner", suffix: str = "_iv") -> DataFrame:
+    """For every point row, attach each half-open interval ``[start, end)``
+    of the same key group that contains it (one output row per match;
+    ``how="left"`` keeps pointless rows with NULL interval columns).
+
+    The naive formulation (``t >= start AND t < end``) has no equi key, so
+    Spark plans a broadcast-nested-loop or cartesian product — a
+    scale-killer when neither side fits in memory.  This operator
+    bucketizes instead: points land in ``bucket = t div W`` (exactly one
+    bucket each), intervals EXPLODE over every bucket they cover, and the
+    join becomes a plain shuffle-hash equi-join on (keys, bucket) with the
+    exact containment predicate evaluated inside the join — the standard
+    range-join optimization.  Each match is emitted exactly once (a point
+    is in one bucket), so no post-join dedup is needed.
+
+    Cost at scale: one exchange of |P| + |I| * (avg interval span / W)
+    rows.  Pick ``bucket_width`` near the TYPICAL interval length: too
+    small replicates long intervals over many buckets, too large packs
+    unrelated rows into one bucket and degrades to per-bucket nested
+    loops.  Integer times use exact integer ``div`` throughout (no float
+    rounding at bucket edges, safe past 2^53); float times use a
+    consistent ``floor`` on both sides.  Empty intervals (``end <=
+    start``) match nothing, as half-open semantics dictate.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be > 0")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in intervals.columns if c not in keys]
+    if "__bk" in points.columns or "__bk" in intervals.columns:
+        raise ValueError("column name '__bk' is reserved")
+
+    integral = {"integer", "long", "short", "byte"}
+    int_mode = (isinstance(bucket_width, int)
+                and points.schema[point_col].dataType.typeName() in integral
+                and intervals.schema[start_col].dataType.typeName()
+                in integral
+                and intervals.schema[end_col].dataType.typeName() in integral)
+    if int_mode:
+        w = F.lit(int(bucket_width))
+        pb = F.expr(f"`{point_col}` div {int(bucket_width)}")
+        lo = F.expr(f"`{start_col}` div {int(bucket_width)}")
+        hi = F.expr(f"(`{end_col}` - 1) div {int(bucket_width)}")
+    else:
+        w = F.lit(float(bucket_width))
+        pb = F.floor(F.col(point_col) / w).cast("long")
+        lo = F.floor(F.col(start_col) / w).cast("long")
+        hi = (F.ceil(F.col(end_col) / w) - 1).cast("long")
+
+    p = points.withColumn("__bk", pb).alias("__p")
+    iv = (intervals
+          .filter(F.col(end_col) > F.col(start_col))
+          .withColumn("__bk", F.explode(F.sequence(lo, hi)))
+          .alias("__i"))
+    cond = F.col("__p.__bk") == F.col("__i.__bk")
+    for k in keys:
+        cond = cond & (F.col(f"__p.`{k}`") == F.col(f"__i.`{k}`"))
+    cond = (cond
+            & (F.col(f"__p.`{point_col}`") >= F.col(f"__i.`{start_col}`"))
+            & (F.col(f"__p.`{point_col}`") < F.col(f"__i.`{end_col}`")))
+    out_left = [F.col(f"__p.`{c}`").alias(c)
+                for c in points.columns if c != "__bk"]
+    out_right = [F.col(f"__i.`{c}`").alias(f"{c}{suffix}") for c in payload]
+    return p.join(iv, cond, how).select(*out_left, *out_right)
