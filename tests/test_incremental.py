@@ -29,3 +29,44 @@ def test_incremental_matches_full(spark, tmp_path):
     # tier100 merged too
     assert p.tables["tier100"].read(spark).filter(
         F.col("doc_id") >= "doc_00000006").count() > 0
+
+
+def test_sketch_tiers_build_resume_and_incremental(spark, tmp_path):
+    """Sketch tiers (histogram + HLL distinct) are first-class pipeline
+    stages: built once, resumed without recompute, and maintained by
+    update_incremental to exactly the full-recompute state."""
+    from wotan_spark.spark.distinct import (cascade_distinct,
+                                            distinct_counts, tier_distinct)
+    from wotan_spark.spark.histogram import tier_histogram
+
+    cfg = PipelineConfig(method="mean", window_length=17,
+                         sketch_bins=16, sketch_distinct=True)
+    all_seq = synth_sequences(spark, 10, median_len=150, max_len=400)
+    first = all_seq.filter("doc_id < 'doc_00000006'")
+    late = all_seq.filter("doc_id >= 'doc_00000006'")
+
+    p = Pipeline(spark, str(tmp_path / "sk"), cfg)
+    out = p.run(sequences=first, stop_after="sketches")
+    assert {"hist10", "hist100", "distinct10", "distinct100"} <= set(out)
+
+    # resume: a fresh pipeline object re-runs nothing
+    p2 = Pipeline(spark, str(tmp_path / "sk"), cfg)
+    out2 = p2.run(stop_after="sketches")
+    assert not any(k.startswith(("hist", "distinct")) for k in out2)
+
+    # incremental merge lands the late docs; state == full recompute
+    p2.update_incremental(late)
+    got_h = (p2.tables["hist10"].read(spark)
+             .select("doc_id", "bucket", "n", "n_below", "n_above", "bins"))
+    want_h = tier_histogram(all_seq, factor=10, n_bins=16)
+    assert got_h.count() == want_h.count()
+    assert want_h.exceptAll(got_h).count() == 0
+
+    got_d = {(r.doc_id, r.bucket): r.n_distinct
+             for r in distinct_counts(
+                 p2.tables["distinct100"].read(spark)
+                 .select("doc_id", "bucket", "sk")).collect()}
+    want_d = {(r.doc_id, r.bucket): r.n_distinct
+              for r in distinct_counts(cascade_distinct(
+                  tier_distinct(all_seq, 10), 10)).collect()}
+    assert got_d == want_d and len(got_d) > 0

@@ -62,6 +62,26 @@ class PipelineConfig:
     # never invalidates the detrend/rollup stage snapshots.
     pack_context_len: int | None = None
     pack_eod_token: int | None = None
+    # Optional mergeable-sketch tiers next to the stats tiers, built from
+    # the raw sequences and maintained by the same merge/retention
+    # machinery: ``sketch_bins`` enables fixed-bin histogram tables
+    # (hist10 + hist100 by exact additive cascade), ``sketch_distinct``
+    # enables HLL distinct-count tables (distinct10 + distinct100 by
+    # exact union cascade).  Fingerprinted per-stage so toggling sketches
+    # never invalidates the detrend/rollup snapshots.
+    sketch_bins: int | None = None
+    sketch_lo: float = 0.99
+    sketch_hi: float = 1.01
+    sketch_distinct: bool = False
+    sketch_lgk: int = 12
+
+    def sketch_fingerprint(self) -> str:
+        blob = json.dumps({
+            "bins": self.sketch_bins, "lo": self.sketch_lo,
+            "hi": self.sketch_hi, "distinct": self.sketch_distinct,
+            "lgk": self.sketch_lgk, "tier_factor": self.tier_factor,
+        }, sort_keys=True)
+        return "sk-" + hashlib.md5(blob.encode()).hexdigest()[:16]
 
     def pack_fingerprint(self) -> str:
         blob = json.dumps({"context_len": self.pack_context_len,
@@ -109,6 +129,7 @@ class Pipeline:
         self.tables = {
             name: SnapshotTable(os.path.join(root, name))
             for name in ("sequences", "detrended", "tier10", "tier100",
+                         "hist10", "hist100", "distinct10", "distinct100",
                          "blocks", "chunks", "lineage")
         }
 
@@ -214,6 +235,10 @@ class Pipeline:
         if stop_after == "tier100":
             return out
 
+        out.update(self._run_sketch_stages(seq_df, seq_sid, run_id))
+        if stop_after == "sketches":
+            return out
+
         if not self._stage_done("blocks", fp):
             t0 = time.time()
             blocks = encode_blocks(det_df.select("doc_id", "flat"),
@@ -221,6 +246,71 @@ class Pipeline:
                                    block_size=cfg.block_size)
             out["blocks"] = self._commit_stage("blocks", blocks, fp, det_sid,
                                                run_id, t0)
+        return out
+
+    # ------------------------------------------------------------------
+    def _sketch_tiers(self, seq_df: DataFrame):
+        """(table_name -> tier DataFrame) for the enabled sketch families;
+        coarse tiers cascade from the fine frame (exact merges), never
+        from a raw re-scan."""
+        cfg = self.config
+        tiers: dict[str, DataFrame] = {}
+        if cfg.sketch_bins:
+            from wotan_spark.spark.histogram import (cascade_histogram,
+                                                     tier_histogram)
+            h10 = tier_histogram(seq_df, factor=cfg.tier_factor,
+                                 n_bins=cfg.sketch_bins, lo=cfg.sketch_lo,
+                                 hi=cfg.sketch_hi)
+            tiers["hist10"] = h10
+            tiers["hist100"] = cascade_histogram(h10, step=cfg.tier_factor)
+        if cfg.sketch_distinct:
+            from wotan_spark.spark.distinct import (cascade_distinct,
+                                                    tier_distinct)
+            d10 = tier_distinct(seq_df, factor=cfg.tier_factor,
+                                lgk=cfg.sketch_lgk)
+            tiers["distinct10"] = d10
+            tiers["distinct100"] = cascade_distinct(d10,
+                                                    step=cfg.tier_factor)
+        return tiers
+
+    def _run_sketch_stages(self, seq_df: DataFrame, seq_sid,
+                           run_id: str) -> dict:
+        """Resumable full builds of the enabled sketch tiers (the
+        incremental twin lives in ``update_incremental``).  Coarse tiers
+        cascade from the COMMITTED fine table, like tier100 from tier10 —
+        one raw scan per family, resume-consistent."""
+        cfg = self.config
+        sfp = cfg.sketch_fingerprint()
+        out: dict[str, int] = {}
+
+        def _build(fine: str, coarse: str, make_fine, make_coarse) -> None:
+            if not self._stage_done(fine, sfp):
+                t0 = time.time()
+                out[fine] = self._commit_stage(fine, make_fine(), sfp,
+                                               seq_sid, run_id, t0)
+            if not self._stage_done(coarse, sfp):
+                t0 = time.time()
+                fine_df = self.tables[fine].read(self.spark)
+                out[coarse] = self._commit_stage(
+                    coarse, make_coarse(fine_df), sfp,
+                    self.tables[fine].current_snapshot_id(), run_id, t0)
+
+        if cfg.sketch_bins:
+            from wotan_spark.spark.histogram import (cascade_histogram,
+                                                     tier_histogram)
+            _build("hist10", "hist100",
+                   lambda: tier_histogram(seq_df, factor=cfg.tier_factor,
+                                          n_bins=cfg.sketch_bins,
+                                          lo=cfg.sketch_lo,
+                                          hi=cfg.sketch_hi),
+                   lambda df: cascade_histogram(df, step=cfg.tier_factor))
+        if cfg.sketch_distinct:
+            from wotan_spark.spark.distinct import (cascade_distinct,
+                                                    tier_distinct)
+            _build("distinct10", "distinct100",
+                   lambda: tier_distinct(seq_df, factor=cfg.tier_factor,
+                                         lgk=cfg.sketch_lgk),
+                   lambda df: cascade_distinct(df, step=cfg.tier_factor))
         return out
 
     # ------------------------------------------------------------------
@@ -302,10 +392,11 @@ class Pipeline:
         self.tables["sequences"].append(new_sequences, run_id=run_id,
                                         incremental=True)
         seq_sid = self.tables["sequences"].current_snapshot_id()
+        seq_changed = (self.tables["sequences"].read(self.spark)
+                       .join(new_sequences.select("doc_id"), "doc_id",
+                             "left_semi"))
         t10_new = detrend_rollup_fused_auto(
-            self.tables["sequences"].read(self.spark)
-                .join(new_sequences.select("doc_id"), "doc_id", "left_semi"),
-            cfg.method, factor=cfg.tier_factor,
+            seq_changed, cfg.method, factor=cfg.tier_factor,
             window_length=cfg.window_length, **cfg.params)
         import pyspark.sql.functions as F
         cut10 = self._retention_cutoff("tier10")
@@ -321,6 +412,17 @@ class Pipeline:
         sid100 = self.tables["tier100"].merge_buckets(
             self.spark, t100_new, keys=["doc_id", "bucket"],
             run_id=run_id, fingerprint=cfg.fingerprint())
+        # sketch tiers upsert the same way: changed docs' sketch rows are
+        # recomputed whole and replace on (doc_id, bucket), behind each
+        # table's own late-data retention gate
+        sketch_sids: dict[str, int] = {}
+        for name, df in self._sketch_tiers(seq_changed).items():
+            cut = self._retention_cutoff(name)
+            if cut is not None:
+                df = df.filter(F.col("bucket") >= cut)
+            sketch_sids[name] = self.tables[name].merge_buckets(
+                self.spark, df, keys=["doc_id", "bucket"],
+                run_id=run_id, fingerprint=cfg.sketch_fingerprint())
         wall = time.time() - t0
         lineage = _file_lineage(self.tables["tier10"], sid10, seq_sid,
                                 run_id, "tier10-incremental", wall)
@@ -328,4 +430,4 @@ class Pipeline:
             self.tables["lineage"].append(
                 self.spark.createDataFrame(lineage), stage="tier10-inc",
                 run_id=run_id)
-        return {"tier10": sid10, "tier100": sid100}
+        return {"tier10": sid10, "tier100": sid100, **sketch_sids}
