@@ -384,17 +384,25 @@ class Pipeline:
         dropped before the merge: without the gate, a straggler sequence
         would silently resurrect aged-out buckets that every earlier
         reader has already seen disappear."""
-        from wotan_spark.spark.rollup import (cascade_tier,
-                                              detrend_rollup_fused_auto)
         run_id = run_id or f"inc-{int(time.time())}"
-        cfg = self.config
-        t0 = time.time()
         self.tables["sequences"].append(new_sequences, run_id=run_id,
                                         incremental=True)
+        return self.merge_changed(new_sequences.select("doc_id"), run_id)
+
+    def merge_changed(self, changed_docs: DataFrame, run_id: str) -> dict:
+        """Recompute every tier/sketch row of the given doc ids from the
+        CURRENT sequences table and upsert them.  IDEMPOTENT: the merges
+        are deterministic keyed replaces, so replaying the same doc set
+        rewrites identical rows — the streaming sink leans on this for
+        crash-replay safety (``streaming.run_pipeline_ingestion``)."""
+        from wotan_spark.spark.rollup import (cascade_tier,
+                                              detrend_rollup_fused_auto)
+        cfg = self.config
+        t0 = time.time()
         seq_sid = self.tables["sequences"].current_snapshot_id()
         seq_changed = (self.tables["sequences"].read(self.spark)
-                       .join(new_sequences.select("doc_id"), "doc_id",
-                             "left_semi"))
+                       .join(changed_docs.select("doc_id").distinct(),
+                             "doc_id", "left_semi"))
         t10_new = detrend_rollup_fused_auto(
             seq_changed, cfg.method, factor=cfg.tier_factor,
             window_length=cfg.window_length, **cfg.params)

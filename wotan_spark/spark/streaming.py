@@ -378,3 +378,49 @@ def streaming_running_stats(spark: SparkSession, landing_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def _pipeline_sink(pipeline, batch_df: DataFrame, rid: str) -> None:
+    """One micro-batch through the pipeline's incremental path.  The
+    sequences append is guarded by the batch's run id (skipped on
+    foreachBatch replay); the tier/sketch merges are deterministic keyed
+    replaces, so re-merging the same docs is harmless — together the sink
+    is effectively-once on top of at-least-once delivery."""
+    if pipeline.tables["sequences"].find_snapshot(run_id=rid) is None:
+        pipeline.update_incremental(batch_df, run_id=rid)
+    else:  # replay after a crash mid-merge: finish the merges only
+        pipeline.merge_changed(batch_df.select("doc_id"), rid)
+
+
+def run_pipeline_ingestion(spark: SparkSession, landing_dir: str,
+                           pipeline, checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None):
+    """Drain landing sequence files through the FULL continuous-aggregate
+    pipeline, one micro-batch at a time (AvailableNow): raw append, stats
+    tiers, any enabled sketch tiers, retention gates, and lineage all
+    advance per drain — the streaming twin of
+    ``Pipeline.update_incremental``, vs ``run_ingestion``'s single
+    tier-10 table.
+
+    Batch run ids are derived from the checkpoint location, so the same
+    checkpoint replaying a batch dedupes the raw append while a DIFFERENT
+    checkpoint (a new subscription) gets fresh ids.  Keep one stable
+    checkpoint dir per landing dir: pointing a fresh checkpoint at
+    already-drained files would re-append them (same rule as any Spark
+    streaming sink with side effects).
+    """
+    import hashlib
+
+    stream = stream_sequences(spark, landing_dir, max_files_per_trigger)
+    tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _pipeline_sink(pipeline, batch_df, f"stream-{tag}-{batch_id}")
+
+    q = (stream.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
