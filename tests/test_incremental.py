@@ -70,3 +70,69 @@ def test_sketch_tiers_build_resume_and_incremental(spark, tmp_path):
               for r in distinct_counts(cascade_distinct(
                   tier_distinct(all_seq, 10), 10)).collect()}
     assert got_d == want_d and len(got_d) > 0
+
+
+def test_incremental_merge_never_fakes_sketch_stage_done(spark, tmp_path):
+    """An incremental merge into a never-built sketch table must NOT
+    stamp the stage fingerprint: the next run() still owes the full
+    build, otherwise the tables would permanently hold only the late
+    docs."""
+    cfg = PipelineConfig(method="mean", window_length=17,
+                         sketch_distinct=True)
+    all_seq = synth_sequences(spark, 10, median_len=150, max_len=400)
+    first = all_seq.filter("doc_id < 'doc_00000006'")
+    late = all_seq.filter("doc_id >= 'doc_00000006'")
+
+    p = Pipeline(spark, str(tmp_path / "mix"), cfg)
+    p.run(sequences=first, stop_after="tier100")   # sketches never built
+    p.update_incremental(late)                     # merges late docs only
+    out = p.run(stop_after="sketches")             # full build must fire
+    assert "distinct10" in out and "distinct100" in out
+    docs = {r.doc_id for r in p.tables["distinct10"].read(spark)
+            .select("doc_id").distinct().collect()}
+    assert len(docs) == 10                         # ALL docs, not just late
+
+
+def test_stop_after_sketches_requires_sketch_config(spark, tmp_path):
+    import pytest
+    p = Pipeline(spark, str(tmp_path / "nosk"),
+                 PipelineConfig(method="mean", window_length=17))
+    seq = synth_sequences(spark, 2, median_len=100, max_len=150)
+    with pytest.raises(ValueError, match="sketches"):
+        p.run(sequences=seq, stop_after="sketches")
+
+
+def test_incremental_sketch_cascade_respects_fine_retention(spark,
+                                                            tmp_path):
+    """After fine-tier retention, the incremental coarse cascade must
+    derive from the GATED fine rows (like tier100 from cut10-gated
+    tier10) — aged-out fine data never resurrects one level up."""
+    from wotan_spark.spark.distinct import (cascade_distinct,
+                                            distinct_counts, tier_distinct)
+    from wotan_spark.spark.retention import RetentionPolicy
+
+    cfg = PipelineConfig(method="mean", window_length=17,
+                         sketch_distinct=True)
+    all_seq = synth_sequences(spark, 8, median_len=300, max_len=400)
+    first = all_seq.filter("doc_id < 'doc_00000006'")
+    late = all_seq.filter("doc_id >= 'doc_00000006'")
+
+    p = Pipeline(spark, str(tmp_path / "ret"), cfg)
+    p.run(sequences=first, stop_after="sketches")
+    p.enforce_retention(RetentionPolicy({"distinct10": 5}))
+    cut = p._retention_cutoff("distinct10")
+    assert cut is not None and cut > 0
+
+    p.update_incremental(late)
+    fine = p.tables["distinct10"].read(spark)
+    assert fine.filter(F.col("bucket") < cut).count() == 0
+    got = {(r.doc_id, r.bucket): r.n_distinct
+           for r in distinct_counts(
+               p.tables["distinct100"].read(spark)
+               .join(late.select("doc_id"), "doc_id", "left_semi")
+               .select("doc_id", "bucket", "sk")).collect()}
+    want = {(r.doc_id, r.bucket): r.n_distinct
+            for r in distinct_counts(cascade_distinct(
+                tier_distinct(late, 10).filter(F.col("bucket") >= cut),
+                10)).collect()}
+    assert got == want and len(got) > 0

@@ -37,6 +37,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from wotan_spark.spark.synth import SENTINEL
+
 
 def tier_distinct(sequences: DataFrame, factor: int = 10,
                   lgk: int = 12) -> DataFrame:
@@ -51,7 +53,7 @@ def tier_distinct(sequences: DataFrame, factor: int = 10,
         raise ValueError("lgk must be in [4, 21]")
     pts = (sequences
            .select("doc_id", F.posexplode("tokens").alias("t", "token"))
-           .filter(F.col("token") != -2147483648))
+           .filter(F.col("token") != int(SENTINEL)))
     return (pts.groupBy("doc_id",
                         (F.col("t") / factor).cast("long").alias("bucket"))
             .agg(F.hll_sketch_agg("token", F.lit(lgk)).alias("sk")))

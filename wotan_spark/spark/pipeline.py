@@ -75,13 +75,19 @@ class PipelineConfig:
     sketch_distinct: bool = False
     sketch_lgk: int = 12
 
-    def sketch_fingerprint(self) -> str:
-        blob = json.dumps({
-            "bins": self.sketch_bins, "lo": self.sketch_lo,
-            "hi": self.sketch_hi, "distinct": self.sketch_distinct,
-            "lgk": self.sketch_lgk, "tier_factor": self.tier_factor,
-        }, sort_keys=True)
-        return "sk-" + hashlib.md5(blob.encode()).hexdigest()[:16]
+    def sketch_fingerprint(self, family: str) -> str:
+        """Per-FAMILY fingerprint: enabling/tuning one sketch family must
+        never invalidate the other family's committed tables."""
+        if family == "hist":
+            blob = {"bins": self.sketch_bins, "lo": self.sketch_lo,
+                    "hi": self.sketch_hi, "tier_factor": self.tier_factor}
+        elif family == "distinct":
+            blob = {"lgk": self.sketch_lgk,
+                    "tier_factor": self.tier_factor}
+        else:
+            raise ValueError(f"unknown sketch family {family!r}")
+        return f"sk-{family}-" + hashlib.md5(
+            json.dumps(blob, sort_keys=True).encode()).hexdigest()[:16]
 
     def pack_fingerprint(self) -> str:
         blob = json.dumps({"context_len": self.pack_context_len,
@@ -187,6 +193,10 @@ class Pipeline:
         if stop_after == "chunks" and not cfg.pack_context_len:
             raise ValueError(
                 "stop_after='chunks' requires pack_context_len to be set")
+        if stop_after == "sketches" and not (cfg.sketch_bins
+                                             or cfg.sketch_distinct):
+            raise ValueError("stop_after='sketches' requires sketch_bins "
+                             "or sketch_distinct to be set")
         if cfg.pack_context_len:
             # packing is a global re-bucketing, so unlike the tier tables
             # it cannot be maintained by incremental merges: stamp the
@@ -249,68 +259,51 @@ class Pipeline:
         return out
 
     # ------------------------------------------------------------------
-    def _sketch_tiers(self, seq_df: DataFrame):
-        """(table_name -> tier DataFrame) for the enabled sketch families;
-        coarse tiers cascade from the fine frame (exact merges), never
-        from a raw re-scan."""
+    def _sketch_families(self):
+        """Enabled sketch families as (fine_table, coarse_table,
+        family_fingerprint, make_fine(seq_df), make_coarse(fine_df))."""
         cfg = self.config
-        tiers: dict[str, DataFrame] = {}
+        fams = []
         if cfg.sketch_bins:
             from wotan_spark.spark.histogram import (cascade_histogram,
                                                      tier_histogram)
-            h10 = tier_histogram(seq_df, factor=cfg.tier_factor,
-                                 n_bins=cfg.sketch_bins, lo=cfg.sketch_lo,
-                                 hi=cfg.sketch_hi)
-            tiers["hist10"] = h10
-            tiers["hist100"] = cascade_histogram(h10, step=cfg.tier_factor)
+            fams.append((
+                "hist10", "hist100", cfg.sketch_fingerprint("hist"),
+                lambda df: tier_histogram(df, factor=cfg.tier_factor,
+                                          n_bins=cfg.sketch_bins,
+                                          lo=cfg.sketch_lo,
+                                          hi=cfg.sketch_hi),
+                lambda df: cascade_histogram(df, step=cfg.tier_factor)))
         if cfg.sketch_distinct:
             from wotan_spark.spark.distinct import (cascade_distinct,
                                                     tier_distinct)
-            d10 = tier_distinct(seq_df, factor=cfg.tier_factor,
-                                lgk=cfg.sketch_lgk)
-            tiers["distinct10"] = d10
-            tiers["distinct100"] = cascade_distinct(d10,
-                                                    step=cfg.tier_factor)
-        return tiers
+            fams.append((
+                "distinct10", "distinct100",
+                cfg.sketch_fingerprint("distinct"),
+                lambda df: tier_distinct(df, factor=cfg.tier_factor,
+                                         lgk=cfg.sketch_lgk),
+                lambda df: cascade_distinct(df, step=cfg.tier_factor)))
+        return fams
 
     def _run_sketch_stages(self, seq_df: DataFrame, seq_sid,
                            run_id: str) -> dict:
         """Resumable full builds of the enabled sketch tiers (the
-        incremental twin lives in ``update_incremental``).  Coarse tiers
+        incremental twin lives in ``merge_changed``).  Coarse tiers
         cascade from the COMMITTED fine table, like tier100 from tier10 —
         one raw scan per family, resume-consistent."""
-        cfg = self.config
-        sfp = cfg.sketch_fingerprint()
         out: dict[str, int] = {}
-
-        def _build(fine: str, coarse: str, make_fine, make_coarse) -> None:
+        for fine, coarse, sfp, make_fine, make_coarse in \
+                self._sketch_families():
             if not self._stage_done(fine, sfp):
                 t0 = time.time()
-                out[fine] = self._commit_stage(fine, make_fine(), sfp,
-                                               seq_sid, run_id, t0)
+                out[fine] = self._commit_stage(fine, make_fine(seq_df),
+                                               sfp, seq_sid, run_id, t0)
             if not self._stage_done(coarse, sfp):
                 t0 = time.time()
                 fine_df = self.tables[fine].read(self.spark)
                 out[coarse] = self._commit_stage(
                     coarse, make_coarse(fine_df), sfp,
                     self.tables[fine].current_snapshot_id(), run_id, t0)
-
-        if cfg.sketch_bins:
-            from wotan_spark.spark.histogram import (cascade_histogram,
-                                                     tier_histogram)
-            _build("hist10", "hist100",
-                   lambda: tier_histogram(seq_df, factor=cfg.tier_factor,
-                                          n_bins=cfg.sketch_bins,
-                                          lo=cfg.sketch_lo,
-                                          hi=cfg.sketch_hi),
-                   lambda df: cascade_histogram(df, step=cfg.tier_factor))
-        if cfg.sketch_distinct:
-            from wotan_spark.spark.distinct import (cascade_distinct,
-                                                    tier_distinct)
-            _build("distinct10", "distinct100",
-                   lambda: tier_distinct(seq_df, factor=cfg.tier_factor,
-                                         lgk=cfg.sketch_lgk),
-                   lambda df: cascade_distinct(df, step=cfg.tier_factor))
         return out
 
     # ------------------------------------------------------------------
@@ -337,7 +330,9 @@ class Pipeline:
         return report
 
     # ------------------------------------------------------------------
-    def compact_tables(self, tables: tuple[str, ...] = ("tier10", "tier100"),
+    def compact_tables(self, tables: tuple[str, ...] = (
+                           "tier10", "tier100", "hist10", "hist100",
+                           "distinct10", "distinct100"),
                        target_file_rows: int = 1_000_000,
                        cluster_by: str | None = "bucket",
                        run_id: str | None = None) -> dict:
@@ -403,34 +398,45 @@ class Pipeline:
         seq_changed = (self.tables["sequences"].read(self.spark)
                        .join(changed_docs.select("doc_id").distinct(),
                              "doc_id", "left_semi"))
-        t10_new = detrend_rollup_fused_auto(
-            seq_changed, cfg.method, factor=cfg.tier_factor,
-            window_length=cfg.window_length, **cfg.params)
         import pyspark.sql.functions as F
-        cut10 = self._retention_cutoff("tier10")
-        if cut10 is not None:
-            t10_new = t10_new.filter(F.col("bucket") >= cut10)
-        sid10 = self.tables["tier10"].merge_buckets(
-            self.spark, t10_new, keys=["doc_id", "bucket"],
-            run_id=run_id, fingerprint=cfg.fingerprint())
-        t100_new = cascade_tier(t10_new, step=cfg.tier_factor)
-        cut100 = self._retention_cutoff("tier100")
-        if cut100 is not None:
-            t100_new = t100_new.filter(F.col("bucket") >= cut100)
-        sid100 = self.tables["tier100"].merge_buckets(
-            self.spark, t100_new, keys=["doc_id", "bucket"],
-            run_id=run_id, fingerprint=cfg.fingerprint())
-        # sketch tiers upsert the same way: changed docs' sketch rows are
-        # recomputed whole and replace on (doc_id, bucket), behind each
-        # table's own late-data retention gate
-        sketch_sids: dict[str, int] = {}
-        for name, df in self._sketch_tiers(seq_changed).items():
+
+        def _gate(name: str, df: DataFrame) -> DataFrame:
             cut = self._retention_cutoff(name)
-            if cut is not None:
-                df = df.filter(F.col("bucket") >= cut)
-            sketch_sids[name] = self.tables[name].merge_buckets(
-                self.spark, df, keys=["doc_id", "bucket"],
-                run_id=run_id, fingerprint=cfg.sketch_fingerprint())
+            return df if cut is None else df.filter(F.col("bucket") >= cut)
+
+        def _merge(name: str, df: DataFrame, fp: str) -> int:
+            # stamp the stage fingerprint only when the stage is ALREADY
+            # done: a maintenance merge keeps a completed table 'done'
+            # (_stage_done contract) but must never MAKE a never-built
+            # table look done — that would leave run() skipping the full
+            # build over a table holding only this batch's docs
+            meta = {"run_id": run_id}
+            if self._stage_done(name, fp):
+                meta["fingerprint"] = fp
+            return self.tables[name].merge_buckets(
+                self.spark, df, keys=["doc_id", "bucket"], **meta)
+
+        t10_new = _gate("tier10", detrend_rollup_fused_auto(
+            seq_changed, cfg.method, factor=cfg.tier_factor,
+            window_length=cfg.window_length, **cfg.params))
+        sid10 = _merge("tier10", t10_new, cfg.fingerprint())
+        t100_new = _gate("tier100", cascade_tier(t10_new,
+                                                 step=cfg.tier_factor))
+        sid100 = _merge("tier100", t100_new, cfg.fingerprint())
+        # sketch tiers upsert the same way; the coarse tier cascades from
+        # the GATED fine frame (mirroring tier100-from-cut10), so fine
+        # retention never resurrects aged-out data one level up, and the
+        # fine frame is persisted across its two merges + the cascade
+        sketch_sids: dict[str, int] = {}
+        for fine, coarse, sfp, make_fine, make_coarse in \
+                self._sketch_families():
+            f_df = _gate(fine, make_fine(seq_changed)).persist()
+            try:
+                sketch_sids[fine] = _merge(fine, f_df, sfp)
+                c_df = _gate(coarse, make_coarse(f_df))
+                sketch_sids[coarse] = _merge(coarse, c_df, sfp)
+            finally:
+                f_df.unpersist()
         wall = time.time() - t0
         lineage = _file_lineage(self.tables["tier10"], sid10, seq_sid,
                                 run_id, "tier10-incremental", wall)

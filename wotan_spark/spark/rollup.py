@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
-from wotan_spark.spark.synth import decode_tokens
+from wotan_spark.spark.synth import SENTINEL, decode_tokens
 
 TIER_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
@@ -309,7 +309,8 @@ def explode_points(sequences: DataFrame, drop_null: bool = False) -> DataFrame:
     pts = sequences.select(
         "doc_id", "source",
         F.posexplode("tokens").alias("t", "token"))
-    y = F.when(F.col("token") == -2147483648, F.lit(None).cast("double")) \
+    y = F.when(F.col("token") == int(SENTINEL),
+               F.lit(None).cast("double")) \
          .otherwise(1.0 + F.col("token").cast("double") / 1e6)
     pts = pts.select("doc_id", "source", F.col("t").cast("long").alias("t"),
                      y.alias("y"))

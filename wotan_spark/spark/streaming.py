@@ -410,9 +410,13 @@ def run_pipeline_ingestion(spark: SparkSession, landing_dir: str,
     streaming sink with side effects).
     """
     import hashlib
+    import os
 
     stream = stream_sequences(spark, landing_dir, max_files_per_trigger)
-    tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    # normalize: a path-spelling change across a crash restart ("ckpt/"
+    # vs "ckpt", relative vs absolute) must not defeat the replay guard
+    tag = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _pipeline_sink(pipeline, batch_df, f"stream-{tag}-{batch_id}")
