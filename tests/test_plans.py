@@ -204,3 +204,19 @@ def test_pack_sequences_has_no_global_order_exchange(spark):
         r"rangepartitioning\([^)]*?,\s*(\d+)\)", plan)]
     assert all(n > 1 for n in range_counts), plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_distinct_tier_partially_aggregates_before_exchange(spark, tmp_path):
+    """tier_distinct must combine map-side: only finished (doc, bucket,
+    sketch) rows cross the exchange, never raw exploded tokens — the
+    property that makes the sketch build affordable at 10^12 tokens."""
+    from wotan_spark.spark.distinct import tier_distinct
+    path = str(tmp_path / "seq")
+    synth_sequences(spark, 8, median_len=100, max_len=200) \
+        .write.parquet(path)
+    t10 = tier_distinct(spark.read.parquet(path), 10)
+    plan = _plan(t10)
+    assert "Exchange" in plan
+    pre_exchange = plan.split("Exchange")[-1]          # subtree BELOW it
+    assert "partial_hll_sketch_agg" in pre_exchange, \
+        f"map-side partial sketch aggregation missing below exchange:\n{plan}"
