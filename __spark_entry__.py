@@ -1068,6 +1068,20 @@ def q_distinct_t100_union(spark, sf_dir):
     return distinct_counts(cascade_distinct(tier_distinct(seq, 10), 10))
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Span-level corpus dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", ExactSubstr at n-gram
+    granularity): every 8-gram occurring >=2 times corpus-wide (with
+    multiplicity) is removed from EVERY occurrence, overlapping repeats
+    merging into maximal dropped spans; survivors reassemble in order.
+    All equi-key shuffles — positional xxhash64 gram keys, one
+    gaps-and-islands window, survivors via the bucketized interval join.
+    Oracle recomputes on gram STRINGS (hash-free), value-exact down to
+    the rebuilt clean_text."""
+    from wotan_spark.spark.datapipe import dedup_spans
+    return dedup_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
 def q_curation_funnel(spark, sf_dir):
     """One-call corpus curation funnel (quality -> exact dedup ->
     decontaminate -> near-dup removal -> stratified sample) with per-stage
@@ -1206,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile_t100": _wrap(q_hist_quantile_t100),
         "distinct_t100_union": _wrap(q_distinct_t100_union),
         "interval_sessions": _wrap(q_interval_sessions),
+        "dedup_spans": _wrap(q_dedup_spans),
     }
 
 
@@ -2787,6 +2802,55 @@ def oracle_sql() -> dict[str, str]:
         FROM pts p JOIN win w
           ON p.user_id = w.user_id
          AND p.t_us >= w.s_start AND p.t_us < w.s_end
+    """
+
+    # span dedup: the oracle works on gram STRINGS (the engine's xxhash64
+    # keys are internal; equal grams give equal drops up to 2^-64
+    # collisions), mirroring the islands merge and rebuild exactly
+    sqls["dedup_spans"] = """
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents),
+        occ AS (SELECT doc_id,
+                       unnest([{'pos': i - 1,
+                                'gram': array_to_string(w[i : i + 7], ' ')}
+                               for i in generate_series(1, len(w) - 7)],
+                              recursive := true)
+                FROM w WHERE len(w) >= 8),
+        dup AS (SELECT gram FROM occ GROUP BY 1 HAVING count(*) >= 2),
+        marks AS (SELECT doc_id, pos, pos + 8 AS e FROM occ
+                  WHERE gram IN (SELECT gram FROM dup)),
+        brks AS (SELECT doc_id, pos, e,
+                        CASE WHEN max(e) OVER prev IS NULL
+                               OR pos > max(e) OVER prev
+                             THEN 1 ELSE 0 END AS brk
+                 FROM marks
+                 WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)),
+        isl AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+                FROM (SELECT *, sum(brk) OVER (PARTITION BY doc_id
+                                               ORDER BY pos
+                                               ROWS UNBOUNDED PRECEDING)
+                                AS iid
+                      FROM brks)
+                GROUP BY doc_id, iid),
+        pts AS (SELECT doc_id,
+                       unnest([{'i': i - 1, 'word': w[i]}
+                               for i in generate_series(1, len(w))],
+                              recursive := true)
+                FROM w),
+        kept AS (SELECT p.doc_id, p.i, p.word
+                 FROM pts p LEFT JOIN isl
+                   ON p.doc_id = isl.doc_id
+                  AND p.i >= isl.s AND p.i < isl.e
+                 WHERE isl.s IS NULL),
+        reb AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(word, ' ' ORDER BY i) AS ct
+                FROM kept GROUP BY 1)
+        SELECT t.doc_id, coalesce(r.ct, '') AS clean_text,
+               len(t.w)::BIGINT AS n_words,
+               (len(t.w) - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+        FROM w t LEFT JOIN reb r USING (doc_id)
     """
 
     sqls["decontaminate_frac"] = f"""

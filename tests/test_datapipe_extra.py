@@ -339,3 +339,53 @@ def test_decontaminate_fractional_overlap(spark):
                                             max_overlap=0.5).collect()}
     assert strict == {3}          # any shared gram kills 0, 1, 2
     assert frac == {2, 3}         # doc 2's single hit is under 50%
+
+
+def test_dedup_spans_hand_case(spark):
+    """Repeated 3-gram spans vanish from every occurrence; overlapping
+    repeated grams merge into one maximal dropped span; unique text
+    survives in order."""
+    from wotan_spark.spark.datapipe import dedup_spans
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta unique one two"),
+         (1, "x y alpha beta gamma delta z"),       # shares a 4-word span
+         (2, "totally fresh words here")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_words, r.n_dropped)
+           for r in dedup_spans(docs, n=3, min_count=2).collect()}
+    # the two repeated 3-grams (alpha beta gamma / beta gamma delta)
+    # overlap -> one merged span of 4 words dropped from BOTH docs
+    assert out[0] == ("unique one two", 7, 4)
+    assert out[1] == ("x y z", 7, 4)
+    assert out[2] == ("totally fresh words here", 4, 0)
+
+
+def test_dedup_spans_intra_doc_repeat_and_full_wipe(spark):
+    from wotan_spark.spark.datapipe import dedup_spans
+    docs = spark.createDataFrame(
+        [(0, "a b c tail a b c"),      # same 3-gram twice WITHIN one doc
+         (1, "a b c")],                # whole doc is a repeated span
+        "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_words, r.n_dropped)
+           for r in dedup_spans(docs, n=3, min_count=2).collect()}
+    assert out[0] == ("tail", 7, 6)    # both occurrences removed
+    assert out[1] == ("", 3, 3)        # empty doc still emitted
+
+
+def test_dedup_spans_short_docs_pass_through(spark):
+    from wotan_spark.spark.datapipe import dedup_spans
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "one two")],   # < n words: no grams at all
+        "doc_id long, text string")
+    out = {r.doc_id: r.clean_text
+           for r in dedup_spans(docs, n=3, min_count=2).collect()}
+    assert out == {0: "one two", 1: "one two"}
+
+
+def test_dedup_spans_validates_params(spark):
+    import pytest
+    from wotan_spark.spark.datapipe import dedup_spans
+    with pytest.raises(ValueError):
+        dedup_spans(None, n=0)
+    with pytest.raises(ValueError):
+        dedup_spans(None, min_count=1)

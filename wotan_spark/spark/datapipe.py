@@ -1173,3 +1173,77 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     w = F.array_sort(F.array_distinct(_words("text")))
     return docs.select(
         "doc_id", F.md5(F.concat_ws(" ", w)).alias("fingerprint"))
+
+
+def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
+                bucket_width: int = 64) -> DataFrame:
+    """Remove every occurrence of any word ``n``-gram span repeated at
+    least ``min_count`` times across the corpus (with multiplicity, so
+    intra-document repeats count) — span-level dedup in the spirit of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" (ExactSubstr), at n-gram granularity: overlapping repeated
+    grams merge into maximal dropped spans, the surviving words
+    reassemble in order.
+
+    Returns ``(doc_id, clean_text, n_words, n_dropped)`` — one row per
+    input doc, empty ``clean_text`` when the whole doc was repeated.
+
+    Scale shape: every stage is an equi-key shuffle — positional gram
+    hashes (native ``xxhash64`` over word slices, no gram strings) are
+    counted corpus-wide, repeated occurrences join back on the 8-byte
+    hash, overlapping spans merge per doc with one gaps-and-islands
+    window, and surviving words are selected by the bucketized
+    ``interval_join`` (never a nested loop).  No driver materialization
+    anywhere.
+    """
+    if n < 1 or min_count < 2:
+        raise ValueError("need n >= 1 and min_count >= 2")
+    from wotan_spark.spark.joins import interval_join
+
+    base = _spread(docs, "doc_id").select("doc_id",
+                                          _words("text").alias("w"))
+    # positional gram hashes, WITH multiplicity (unlike _gram_hashes)
+    idx = F.sequence(F.lit(0), F.size("w") - n)
+    gh = F.when(
+        F.size("w") >= n,
+        F.transform(idx, lambda i: F.xxhash64(F.slice("w", i + 1, n)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = base.select("doc_id", F.posexplode(gh).alias("pos", "hv"))
+    dup = (occ.groupBy("hv").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= min_count).select("hv"))
+    marks = (occ.join(dup, "hv")
+             .select("doc_id", "pos", (F.col("pos") + n).alias("end")))
+
+    # gaps-and-islands: merge overlapping/adjacent dropped spans per doc
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        wnd.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1) \
+           .otherwise(0)
+    islands = (marks.withColumn("iid", F.sum(brk).over(wnd))
+               .groupBy("doc_id", "iid")
+               .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+               .select("doc_id", "s", "e"))
+
+    # survivors: words outside every island (islands are disjoint, so the
+    # left interval join emits exactly one row per word)
+    pts = base.select("doc_id", F.posexplode("w").alias("i", "word"))
+    kept = (interval_join(pts, islands, on="doc_id", point_col="i",
+                          start_col="s", end_col="e",
+                          bucket_width=bucket_width, how="left")
+            .filter(F.col("s_iv").isNull()))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("i", "word"))),
+                        lambda s: s["word"])).alias("clean_text")))
+    totals = base.select("doc_id",
+                         F.size("w").cast("long").alias("n_words"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_words",
+                    (F.col("n_words")
+                     - F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_dropped")))
