@@ -1082,6 +1082,25 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(_docs(spark, sf_dir), n=8, min_count=2)
 
 
+def q_dedup_token_spans(spark, sf_dir):
+    """Span dedup applied to the TOKENIZED payload: documents flow
+    through tokenize_documents into the canonical sequence schema, then
+    every repeated token 8-gram span is removed from every occurrence
+    (dedup_token_spans) — the Lee et al. 2022 span surgery on the
+    training-token stream itself.  Kept-token arrays are compared as
+    md5 over the comma-joined ids (array columns stringify differently
+    between pandas and DuckDB)."""
+    from wotan_spark.spark.datapipe import (dedup_token_spans,
+                                            tokenize_documents)
+    seq = tokenize_documents(_docs(spark, sf_dir), vocab_size=50257)
+    out = dedup_token_spans(seq, n=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform(
+            "kept", lambda x: x.cast("string")))).alias("kept_md5"),
+        "n_tok", "n_dropped")
+
+
 def q_curation_funnel(spark, sf_dir):
     """One-call corpus curation funnel (quality -> exact dedup ->
     decontaminate -> near-dup removal -> stratified sample) with per-stage
@@ -1221,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_t100_union": _wrap(q_distinct_t100_union),
         "interval_sessions": _wrap(q_interval_sessions),
         "dedup_spans": _wrap(q_dedup_spans),
+        "dedup_token_spans": _wrap(q_dedup_token_spans),
     }
 
 
@@ -2851,6 +2871,60 @@ def oracle_sql() -> dict[str, str]:
                len(t.w)::BIGINT AS n_words,
                (len(t.w) - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
         FROM w t LEFT JOIN reb r USING (doc_id)
+    """
+
+    # token-payload span dedup: same islands logic over the md5-vocab
+    # token ids the tokenize_docs oracle derives
+    sqls["dedup_token_spans"] = r"""
+        WITH tok AS (
+            SELECT doc_id::VARCHAR AS doc_id,
+                   list_transform(
+                       regexp_extract_all(text,
+                           '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+                       t -> (('0x' || substr(md5(t), 1, 14))::BIGINT
+                             % 50257)::INT) AS w
+            FROM documents),
+        occ AS (SELECT doc_id,
+                       unnest([{'pos': i - 1,
+                                'gram': array_to_string(w[i : i + 7], ',')}
+                               for i in generate_series(1, len(w) - 7)],
+                              recursive := true)
+                FROM tok WHERE len(w) >= 8),
+        dup AS (SELECT gram FROM occ GROUP BY 1 HAVING count(*) >= 2),
+        marks AS (SELECT doc_id, pos, pos + 8 AS e FROM occ
+                  WHERE gram IN (SELECT gram FROM dup)),
+        brks AS (SELECT doc_id, pos, e,
+                        CASE WHEN max(e) OVER prev IS NULL
+                               OR pos > max(e) OVER prev
+                             THEN 1 ELSE 0 END AS brk
+                 FROM marks
+                 WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)),
+        isl AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+                FROM (SELECT *, sum(brk) OVER (PARTITION BY doc_id
+                                               ORDER BY pos
+                                               ROWS UNBOUNDED PRECEDING)
+                                AS iid
+                      FROM brks)
+                GROUP BY doc_id, iid),
+        pts AS (SELECT doc_id,
+                       unnest([{'i': i - 1, 'tk': w[i]}
+                               for i in generate_series(1, len(w))],
+                              recursive := true)
+                FROM tok),
+        kept AS (SELECT p.doc_id, p.i, p.tk
+                 FROM pts p LEFT JOIN isl
+                   ON p.doc_id = isl.doc_id
+                  AND p.i >= isl.s AND p.i < isl.e
+                 WHERE isl.s IS NULL),
+        reb AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tk::VARCHAR, ',' ORDER BY i) AS ct
+                FROM kept GROUP BY 1)
+        SELECT t.doc_id, md5(coalesce(r.ct, '')) AS kept_md5,
+               len(t.w)::BIGINT AS n_tok,
+               (len(t.w) - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+        FROM tok t LEFT JOIN reb r USING (doc_id)
     """
 
     sqls["decontaminate_frac"] = f"""

@@ -389,3 +389,25 @@ def test_dedup_spans_validates_params(spark):
         dedup_spans(None, n=0)
     with pytest.raises(ValueError):
         dedup_spans(None, min_count=1)
+
+
+def test_dedup_token_spans_matches_text_twin(spark):
+    """The token-payload variant drops exactly the spans the text variant
+    drops when tokens are a 1:1 word mapping."""
+    from wotan_spark.spark.datapipe import dedup_spans, dedup_token_spans
+    vocab = {"alpha": 1, "beta": 2, "gamma": 3, "delta": 4, "unique": 5,
+             "one": 6, "two": 7, "x": 8, "y": 9, "z": 10}
+    texts = [(0, "alpha beta gamma delta unique one two"),
+             (1, "x y alpha beta gamma delta z")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    seqs = spark.createDataFrame(
+        [(str(d), [vocab[w] for w in t.split()]) for d, t in texts],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: (list(r.kept), r.n_tok, r.n_dropped)
+           for r in dedup_token_spans(seqs, n=3, min_count=2).collect()}
+    want_text = {str(r.doc_id): r.clean_text
+                 for r in dedup_spans(docs, n=3, min_count=2).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    for d, (kept, n_tok, n_dropped) in got.items():
+        assert " ".join(inv[t] for t in kept) == want_text[d]
+    assert got["0"][1:] == (7, 4) and got["1"][1:] == (7, 4)

@@ -1198,10 +1198,44 @@ def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
     """
     if n < 1 or min_count < 2:
         raise ValueError("need n >= 1 and min_count >= 2")
-    from wotan_spark.spark.joins import interval_join
-
     base = _spread(docs, "doc_id").select("doc_id",
                                           _words("text").alias("w"))
+    kept = _dedup_array_spans(base, n, min_count, bucket_width)
+    return kept.select(
+        "doc_id",
+        F.concat_ws(" ", "kept").alias("clean_text"),
+        "n_words", "n_dropped")
+
+
+def dedup_token_spans(sequences: DataFrame, n: int = 50,
+                      min_count: int = 2,
+                      bucket_width: int = 64) -> DataFrame:
+    """``dedup_spans`` for the TOKENIZED payload: repeated token
+    ``n``-gram spans across the sequence corpus are removed from every
+    occurrence; returns ``(doc_id, kept, n_tok, n_dropped)`` with
+    ``kept`` the surviving tokens in order — the training-data span
+    surgery of Lee et al. 2022 applied directly to the engine's
+    canonical ``(doc_id, tokens, ...)`` table.  Tokens are matched
+    verbatim (mask gap sentinels upstream if runs of gaps must not
+    count as repeats)."""
+    if n < 1 or min_count < 2:
+        raise ValueError("need n >= 1 and min_count >= 2")
+    base = _spread(sequences, "doc_id").select(
+        "doc_id", F.col("tokens").alias("w"))
+    kept = _dedup_array_spans(base, n, min_count, bucket_width)
+    return kept.select("doc_id", "kept",
+                       F.col("n_words").alias("n_tok"), "n_dropped")
+
+
+def _dedup_array_spans(base: DataFrame, n: int, min_count: int,
+                       bucket_width: int) -> DataFrame:
+    """Shared span-dedup core over ``(doc_id, w: array<any>)``:
+    (doc_id, kept: array, n_words, n_dropped).  See ``dedup_spans``
+    for the plan-shape discussion."""
+    if n < 1 or min_count < 2:
+        raise ValueError("need n >= 1 and min_count >= 2")
+    from wotan_spark.spark.joins import interval_join
+
     # positional gram hashes, WITH multiplicity (unlike _gram_hashes)
     idx = F.sequence(F.lit(0), F.size("w") - n)
     gh = F.when(
@@ -1225,8 +1259,8 @@ def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
                .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
                .select("doc_id", "s", "e"))
 
-    # survivors: words outside every island (islands are disjoint, so the
-    # left interval join emits exactly one row per word)
+    # survivors: elements outside every island (islands are disjoint, so
+    # the left interval join emits exactly one row per element)
     pts = base.select("doc_id", F.posexplode("w").alias("i", "word"))
     kept = (interval_join(pts, islands, on="doc_id", point_col="i",
                           start_col="s", end_col="e",
@@ -1234,15 +1268,17 @@ def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
             .filter(F.col("s_iv").isNull()))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.count("*").alias("n_kept"),
-                    F.concat_ws(" ", F.transform(
+                    F.transform(
                         F.array_sort(F.collect_list(
                             F.struct("i", "word"))),
-                        lambda s: s["word"])).alias("clean_text")))
+                        lambda s: s["word"]).alias("kept")))
     totals = base.select("doc_id",
                          F.size("w").cast("long").alias("n_words"))
+    empty = F.array().cast(
+        base.schema["w"].dataType.simpleString())
     return (totals.join(rebuilt, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept", empty).alias("kept"),
                     "n_words",
                     (F.col("n_words")
                      - F.coalesce("n_kept", F.lit(0))).cast("long")
