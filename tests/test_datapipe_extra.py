@@ -411,3 +411,19 @@ def test_dedup_token_spans_matches_text_twin(spark):
     for d, (kept, n_tok, n_dropped) in got.items():
         assert " ".join(inv[t] for t in kept) == want_text[d]
     assert got["0"][1:] == (7, 4) and got["1"][1:] == (7, 4)
+
+
+def test_dedup_spans_null_text_treated_as_empty(spark):
+    from wotan_spark.spark.datapipe import dedup_spans, dedup_token_spans
+    docs = spark.createDataFrame([(0, None), (1, "real words here")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_words, r.n_dropped)
+           for r in dedup_spans(docs, n=3, min_count=2).collect()}
+    assert out[0] == ("", 1, 0)        # split("") -> [""], nothing dropped
+    assert out[1] == ("real words here", 3, 0)
+    seqs = spark.createDataFrame([("a", None), ("b", [1, 2, 3])],
+                                 "doc_id string, tokens array<int>")
+    got = {r.doc_id: (list(r.kept), r.n_tok, r.n_dropped)
+           for r in dedup_token_spans(seqs, n=3, min_count=2).collect()}
+    assert got["a"] == ([], 0, 0)
+    assert got["b"] == ([1, 2, 3], 3, 0)

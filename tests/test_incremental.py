@@ -104,9 +104,11 @@ def test_stop_after_sketches_requires_sketch_config(spark, tmp_path):
 
 def test_incremental_sketch_cascade_respects_fine_retention(spark,
                                                             tmp_path):
-    """After fine-tier retention, the incremental coarse cascade must
-    derive from the GATED fine rows (like tier100 from cut10-gated
-    tier10) — aged-out fine data never resurrects one level up."""
+    """After fine-tier retention, the incremental coarse cascade derives
+    from the fine frame gated at the ALIGNED-DOWN boundary: the fine
+    table itself keeps nothing behind the exact cutoff, while a
+    late-touched boundary coarse bucket is rebuilt from its COMPLETE
+    fine span (never silently shrunk to the cutoff's partial tail)."""
     from wotan_spark.spark.distinct import (cascade_distinct,
                                             distinct_counts, tier_distinct)
     from wotan_spark.spark.retention import RetentionPolicy
@@ -131,8 +133,10 @@ def test_incremental_sketch_cascade_respects_fine_retention(spark,
                p.tables["distinct100"].read(spark)
                .join(late.select("doc_id"), "doc_id", "left_semi")
                .select("doc_id", "bucket", "sk")).collect()}
+    aligned = (cut // 10) * 10
     want = {(r.doc_id, r.bucket): r.n_distinct
             for r in distinct_counts(cascade_distinct(
-                tier_distinct(late, 10).filter(F.col("bucket") >= cut),
+                tier_distinct(late, 10)
+                .filter(F.col("bucket") >= aligned),
                 10)).collect()}
     assert got == want and len(got) > 0

@@ -1196,10 +1196,11 @@ def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
     ``interval_join`` (never a nested loop).  No driver materialization
     anywhere.
     """
-    if n < 1 or min_count < 2:
-        raise ValueError("need n >= 1 and min_count >= 2")
-    base = _spread(docs, "doc_id").select("doc_id",
-                                          _words("text").alias("w"))
+    _validate_span_params(n, min_count)
+    base = _spread(docs, "doc_id").select(
+        "doc_id",
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        .alias("w"))
     kept = _dedup_array_spans(base, n, min_count, bucket_width)
     return kept.select(
         "doc_id",
@@ -1218,24 +1219,32 @@ def dedup_token_spans(sequences: DataFrame, n: int = 50,
     canonical ``(doc_id, tokens, ...)`` table.  Tokens are matched
     verbatim (mask gap sentinels upstream if runs of gaps must not
     count as repeats)."""
-    if n < 1 or min_count < 2:
-        raise ValueError("need n >= 1 and min_count >= 2")
+    _validate_span_params(n, min_count)
     base = _spread(sequences, "doc_id").select(
-        "doc_id", F.col("tokens").alias("w"))
+        "doc_id",
+        F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
+        .alias("w"))
     kept = _dedup_array_spans(base, n, min_count, bucket_width)
     return kept.select("doc_id", "kept",
                        F.col("n_words").alias("n_tok"), "n_dropped")
+
+
+def _validate_span_params(n: int, min_count: int) -> None:
+    if n < 1 or min_count < 2:
+        raise ValueError("need n >= 1 and min_count >= 2")
 
 
 def _dedup_array_spans(base: DataFrame, n: int, min_count: int,
                        bucket_width: int) -> DataFrame:
     """Shared span-dedup core over ``(doc_id, w: array<any>)``:
     (doc_id, kept: array, n_words, n_dropped).  See ``dedup_spans``
-    for the plan-shape discussion."""
-    if n < 1 or min_count < 2:
-        raise ValueError("need n >= 1 and min_count >= 2")
+    for the plan-shape discussion.  ``base`` feeds four plan branches
+    (gram counting, the dup join probe, the survivor points, and the
+    totals), so it is persisted for the plan's lifetime — same
+    discipline as the Jaccard inverted-index build."""
     from wotan_spark.spark.joins import interval_join
 
+    base = base.persist()
     # positional gram hashes, WITH multiplicity (unlike _gram_hashes)
     idx = F.sequence(F.lit(0), F.size("w") - n)
     gh = F.when(

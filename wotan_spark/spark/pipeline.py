@@ -400,9 +400,25 @@ class Pipeline:
                              "doc_id", "left_semi"))
         import pyspark.sql.functions as F
 
+        factor = cfg.tier_factor
+
         def _gate(name: str, df: DataFrame) -> DataFrame:
             cut = self._retention_cutoff(name)
             return df if cut is None else df.filter(F.col("bucket") >= cut)
+
+        def _coarse_src(fine_full: DataFrame, fine_name: str) -> DataFrame:
+            # cascade source gates at the ALIGNED-DOWN fine boundary: a
+            # late-data touch must rebuild a boundary coarse bucket from
+            # its COMPLETE fine span, and the recompute runs from raw
+            # sequences, where the pre-cutoff part of that span still
+            # exists even after fine-tier retention trimmed the fine
+            # table.  Gating at the exact (unaligned) cutoff would
+            # silently shrink the committed coarse row on replace.
+            cut = self._retention_cutoff(fine_name)
+            if cut is None:
+                return fine_full
+            return fine_full.filter(
+                F.col("bucket") >= (cut // factor) * factor)
 
         def _merge(name: str, df: DataFrame, fp: str) -> int:
             # stamp the stage fingerprint only when the stage is ALREADY
@@ -416,27 +432,33 @@ class Pipeline:
             return self.tables[name].merge_buckets(
                 self.spark, df, keys=["doc_id", "bucket"], **meta)
 
-        t10_new = _gate("tier10", detrend_rollup_fused_auto(
-            seq_changed, cfg.method, factor=cfg.tier_factor,
-            window_length=cfg.window_length, **cfg.params))
-        sid10 = _merge("tier10", t10_new, cfg.fingerprint())
-        t100_new = _gate("tier100", cascade_tier(t10_new,
-                                                 step=cfg.tier_factor))
-        sid100 = _merge("tier100", t100_new, cfg.fingerprint())
-        # sketch tiers upsert the same way; the coarse tier cascades from
-        # the GATED fine frame (mirroring tier100-from-cut10), so fine
-        # retention never resurrects aged-out data one level up, and the
-        # fine frame is persisted across its two merges + the cascade
+        t10_full = detrend_rollup_fused_auto(
+            seq_changed, cfg.method, factor=factor,
+            window_length=cfg.window_length, **cfg.params).persist()
+        try:
+            sid10 = _merge("tier10", _gate("tier10", t10_full),
+                           cfg.fingerprint())
+            t100_new = _gate("tier100",
+                             cascade_tier(_coarse_src(t10_full, "tier10"),
+                                          step=factor))
+            sid100 = _merge("tier100", t100_new, cfg.fingerprint())
+        finally:
+            t10_full.unpersist()
+        # sketch tiers upsert the same way: fine rows behind the exact
+        # fine cutoff, coarse rows cascaded from the aligned-down fine
+        # frame (complete boundary buckets) behind the coarse cutoff;
+        # the fine frame is persisted across its merges + the cascade
         sketch_sids: dict[str, int] = {}
         for fine, coarse, sfp, make_fine, make_coarse in \
                 self._sketch_families():
-            f_df = _gate(fine, make_fine(seq_changed)).persist()
+            f_full = make_fine(seq_changed).persist()
             try:
-                sketch_sids[fine] = _merge(fine, f_df, sfp)
-                c_df = _gate(coarse, make_coarse(f_df))
+                sketch_sids[fine] = _merge(fine, _gate(fine, f_full), sfp)
+                c_df = _gate(coarse,
+                             make_coarse(_coarse_src(f_full, fine)))
                 sketch_sids[coarse] = _merge(coarse, c_df, sfp)
             finally:
-                f_df.unpersist()
+                f_full.unpersist()
         wall = time.time() - t0
         lineage = _file_lineage(self.tables["tier10"], sid10, seq_sid,
                                 run_id, "tier10-incremental", wall)

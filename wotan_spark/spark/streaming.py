@@ -411,12 +411,19 @@ def run_pipeline_ingestion(spark: SparkSession, landing_dir: str,
     """
     import hashlib
     import os
+    import re
 
     stream = stream_sequences(spark, landing_dir, max_files_per_trigger)
     # normalize: a path-spelling change across a crash restart ("ckpt/"
-    # vs "ckpt", relative vs absolute) must not defeat the replay guard
-    tag = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+    # vs "ckpt", relative vs absolute cwd path) must not defeat the
+    # replay guard.  URI locations (hdfs://, s3a://, file:) are already
+    # absolute — os.path.abspath would bake the driver cwd into them and
+    # mangle the scheme, so only bare local paths get abspath'd.
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", checkpoint_dir):
+        norm = checkpoint_dir.rstrip("/")
+    else:
+        norm = os.path.abspath(checkpoint_dir)
+    tag = hashlib.md5(norm.encode()).hexdigest()[:8]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _pipeline_sink(pipeline, batch_df, f"stream-{tag}-{batch_id}")
