@@ -130,3 +130,64 @@ def test_late_data_does_not_resurrect_aged_out_buckets(spark, tmp_path):
     # fresh buckets merged; aged-out ones did not resurrect
     assert mine.count() > 0
     assert mine.agg(F.min("bucket")).collect()[0][0] >= cutoff
+
+
+def test_refs_tag_branch_rollback(spark, tmp_path):
+    """Named refs: tags immutable, branches movable, read(ref=...),
+    Iceberg-style rollback preserves history."""
+    import pytest
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    s0 = t.overwrite(spark.range(3).withColumnRenamed("id", "x"), gen="a")
+    s1 = t.overwrite(spark.range(10).withColumnRenamed("id", "x"), gen="b")
+    t.create_tag("v1", s0)
+    t.create_branch("dev")                     # defaults to HEAD (s1)
+    assert t.resolve_ref("v1") == s0 and t.resolve_ref("dev") == s1
+    assert t.read(spark, ref="v1").count() == 3
+    assert t.read(spark, ref="dev").count() == 10
+    with pytest.raises(ValueError):
+        t.create_tag("v1", s1)                 # tags are immutable
+    t.set_branch("dev", s0)                    # branches move
+    assert t.read(spark, ref="dev").count() == 3
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot_id=s0, ref="v1")
+
+    s2 = t.rollback_to(s0, run_id="undo")      # restore, keep history
+    assert t.current_snapshot_id() == s2
+    assert t.read(spark).count() == 3          # restored data at HEAD
+    assert t.read(spark, snapshot_id=s1).count() == 10  # history intact
+    assert t.find_snapshot(run_id="undo")["meta"]["rollback_of"] == s0
+    t.drop_ref("dev")
+    with pytest.raises(KeyError):
+        t.resolve_ref("dev")
+
+
+def test_expire_snapshots_pins_referenced_snapshots(spark, tmp_path):
+    """A tagged snapshot survives expiry past the keep window (manifest +
+    data stay readable via the ref); dropping the ref releases it."""
+    import os
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    s0 = t.overwrite(spark.range(4).withColumnRenamed("id", "x"))
+    s1 = t.overwrite(spark.range(5).withColumnRenamed("id", "x"))
+    s2 = t.overwrite(spark.range(6).withColumnRenamed("id", "x"))
+    t.create_tag("keepme", s0)
+
+    rep = expire_snapshots(t, keep_last=1)
+    assert rep["expired"] == 1                       # only s1 reclaimed
+    assert t.read(spark, ref="keepme").count() == 4  # s0 pinned by tag
+    assert t.read(spark).count() == 6
+    # s1's manifest is gone, s0's stays
+    assert not os.path.exists(os.path.join(
+        t.manifest_dir, f"snapshot-{s1}.json"))
+    assert os.path.exists(os.path.join(
+        t.manifest_dir, f"snapshot-{s0}.json"))
+
+    t.drop_ref("keepme")
+    assert t.read(spark, snapshot_id=s0).count() == 4   # until reclaimed
+    # the next expiry reclaims the now-unreferenced orphan
+    t.overwrite(spark.range(7).withColumnRenamed("id", "x"))
+    rep2 = expire_snapshots(t, keep_last=1)
+    assert rep2["expired"] >= 1
+    assert not os.path.exists(os.path.join(
+        t.manifest_dir, f"snapshot-{s0}.json"))

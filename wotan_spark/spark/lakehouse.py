@@ -66,6 +66,84 @@ class SnapshotTable:
                 return m
         return None
 
+    # -- named refs (the Iceberg tag/branch model) ---------------------------
+    def _refs_path(self) -> str:
+        return os.path.join(self.manifest_dir, "refs.json")
+
+    def refs(self) -> dict:
+        """{"tags": {name: snapshot_id}, "branches": {name: snapshot_id}}.
+        Tags are immutable pointers; branches can be moved.  Referenced
+        snapshots are pinned through ``expire_snapshots``."""
+        try:
+            with open(self._refs_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"tags": {}, "branches": {}}
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = os.path.join(self.manifest_dir,
+                           f".tmp-refs-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.rename(tmp, self._refs_path())
+
+    def _new_ref(self, kind: str, name: str,
+                 snapshot_id: int | None) -> int:
+        refs = self.refs()
+        if name in refs["tags"] or name in refs["branches"]:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = int(snapshot_id) if snapshot_id is not None \
+            else self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        self._manifest(sid)                      # must exist
+        refs[kind][name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Immutable named pointer to a snapshot (default HEAD)."""
+        return self._new_ref("tags", name, snapshot_id)
+
+    def create_branch(self, name: str,
+                      snapshot_id: int | None = None) -> int:
+        """Movable named pointer to a snapshot (default HEAD)."""
+        return self._new_ref("branches", name, snapshot_id)
+
+    def set_branch(self, name: str, snapshot_id: int) -> None:
+        refs = self.refs()
+        if name not in refs["branches"]:
+            raise KeyError(f"no branch {name!r}")
+        self._manifest(int(snapshot_id))
+        refs["branches"][name] = int(snapshot_id)
+        self._write_refs(refs)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        for kind in ("tags", "branches"):
+            if name in refs[kind]:
+                del refs[kind][name]
+                self._write_refs(refs)
+                return
+        raise KeyError(f"no ref {name!r}")
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        for kind in ("tags", "branches"):
+            if name in refs[kind]:
+                return int(refs[kind][name])
+        raise KeyError(f"no ref {name!r}")
+
+    def rollback_to(self, snapshot_id: int, **meta) -> int:
+        """Iceberg-style rollback: HEAD advances to a NEW snapshot whose
+        file set is the target's — history is preserved (the bad
+        snapshots stay time-travelable until expiry), readers see the
+        restored data immediately."""
+        target = self._manifest(int(snapshot_id))
+        return self._commit(list(target["files"]),
+                            {**meta, "rollback_of": int(snapshot_id)},
+                            self.current_snapshot_id())
+
     # -- commit --------------------------------------------------------------
     def _commit(self, files: list[str], meta: dict, parent: int | None) -> int:
         sid = (parent + 1) if parent is not None else 0
@@ -183,13 +261,19 @@ class SnapshotTable:
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              where: tuple | None = None,
-             merge_schema: bool = False) -> DataFrame | None:
+             merge_schema: bool = False,
+             ref: str | None = None) -> DataFrame | None:
         """Read a snapshot.  ``where=(col, lo, hi)`` prunes whole data files
         whose manifest min/max stats cannot overlap [lo, hi] — the Iceberg
         scan-pruning model — and applies the residual filter (so results are
         exact even where stats were absent).  ``merge_schema=True`` unions
         the file schemas (schema-evolution reads: columns appended by later
-        commits come back NULL for older files)."""
+        commits come back NULL for older files).  ``ref`` reads a named
+        tag/branch instead of HEAD."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         sid = snapshot_id if snapshot_id is not None \
             else self.current_snapshot_id()
         if sid is None:

@@ -96,7 +96,13 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
     parent chain, delete every data directory referenced ONLY by expired
     snapshots, and drop their manifests.  The oldest kept manifest is
     rewritten with ``parent=None`` (history truncation point).  Time travel
-    to an expired snapshot is no longer possible — that is the point."""
+    to an expired snapshot is no longer possible — that is the point.
+
+    Snapshots referenced by a named tag/branch are PINNED (the Iceberg
+    ref-retention model): their manifest and data files survive even past
+    the keep window — they drop out of the walkable history chain but
+    stay readable via ``read(ref=...)`` / ``read(snapshot_id=...)`` until
+    the ref is dropped and a later expiry reclaims them."""
     import json
 
     head = table.current_snapshot_id()
@@ -105,8 +111,24 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
     chain = table.snapshots()               # oldest .. newest
     if len(chain) <= keep_last:
         return {"expired": 0, "dirs_deleted": 0}
-    kept, expired = chain[-keep_last:], chain[:-keep_last]
-    kept_dirs = {d for m in kept for d in m["files"]}
+    refs = table.refs()
+    ref_sids = set(refs["tags"].values()) | set(refs["branches"].values())
+    kept, old = chain[-keep_last:], chain[:-keep_last]
+    pinned = [m for m in old if m["snapshot_id"] in ref_sids]
+    expired = [m for m in old if m["snapshot_id"] not in ref_sids]
+    # orphans: manifests outside the walkable chain (pinned by a ref in
+    # an earlier expiry, ref since dropped) — reclaim them now, or their
+    # files would leak forever
+    chain_sids = {m["snapshot_id"] for m in chain}
+    for fn in os.listdir(table.manifest_dir):
+        if not (fn.startswith("snapshot-") and fn.endswith(".json")):
+            continue
+        sid = int(fn[len("snapshot-"):-len(".json")])
+        if sid not in chain_sids and sid not in ref_sids:
+            expired.append(table._manifest(sid))
+        elif sid not in chain_sids:          # still-pinned orphan
+            pinned.append(table._manifest(sid))
+    kept_dirs = {d for m in kept + pinned for d in m["files"]}
     drop_dirs = {d for m in expired for d in m["files"]} - kept_dirs
     for d in drop_dirs:
         shutil.rmtree(d, ignore_errors=True)
