@@ -191,3 +191,41 @@ def test_expire_snapshots_pins_referenced_snapshots(spark, tmp_path):
     assert rep2["expired"] >= 1
     assert not os.path.exists(os.path.join(
         t.manifest_dir, f"snapshot-{s0}.json"))
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """WAP: staged branch commits are invisible at HEAD until
+    fast_forward publishes; staged snapshots survive expiry as a unit;
+    a non-ancestor HEAD refuses the fast-forward."""
+    import pytest
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(5).withColumnRenamed("id", "x"))
+    t.create_branch("audit")
+
+    s_a = t.commit_to_branch(
+        spark.range(8).withColumnRenamed("id", "x"), "audit")
+    s_b = t.commit_to_branch(
+        spark.range(2).withColumnRenamed("id", "x"), "audit",
+        mode="append")
+    assert t.read(spark).count() == 5            # HEAD untouched
+    assert t.read(spark, ref="audit").count() == 10  # 8 overwrite + 2
+    assert t._manifest(s_b)["parent"] == s_a
+
+    # staged commits survive an expiry while the branch exists
+    expire_snapshots(t, keep_last=1)
+    assert t.read(spark, ref="audit").count() == 10
+
+    published = t.fast_forward("audit")          # audit passed: publish
+    assert published == s_b
+    assert t.read(spark).count() == 10
+    assert [m["snapshot_id"] for m in t.snapshots()][-1] == s_b
+
+    # diverged HEAD refuses fast-forward
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.overwrite(spark.range(3).withColumnRenamed("id", "x"))
+    t2.create_branch("b")
+    t2.commit_to_branch(spark.range(4).withColumnRenamed("id", "x"), "b")
+    t2.overwrite(spark.range(9).withColumnRenamed("id", "x"))  # diverge
+    with pytest.raises(ValueError, match="ancestor"):
+        t2.fast_forward("b")

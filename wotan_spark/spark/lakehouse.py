@@ -134,6 +134,49 @@ class SnapshotTable:
                 return int(refs[kind][name])
         raise KeyError(f"no ref {name!r}")
 
+    def commit_to_branch(self, df: DataFrame, branch: str,
+                         mode: str = "overwrite", **meta) -> int:
+        """Write-audit-publish staging: commit onto the BRANCH head (its
+        parent chain, not HEAD's), moving only the branch pointer.  HEAD
+        readers never see staged data until ``fast_forward`` publishes.
+        ``mode="append"`` unions the branch head's file set."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown mode {mode!r}")
+        refs = self.refs()
+        if branch not in refs["branches"]:
+            raise KeyError(f"no branch {branch!r}")
+        parent = refs["branches"][branch]
+        files = [self._write_data(df)]
+        if mode == "append":
+            files = list(self._manifest(parent)["files"]) + files
+        sid = self._commit(files, {**meta, "branch": branch}, parent,
+                           move_head=False)
+        refs = self.refs()                   # re-read: commit wrote data
+        refs["branches"][branch] = sid
+        self._write_refs(refs)
+        return sid
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a staged branch: move HEAD to the branch head.
+        Requires the current HEAD to be an ANCESTOR of the branch head
+        (pure fast-forward) so published history stays append-only —
+        audit flows that diverged must rebase (re-stage) first."""
+        target = self.resolve_ref(branch)
+        head = self.current_snapshot_id()
+        sid = target
+        while sid is not None and sid != head:
+            sid = self._manifest(sid).get("parent")
+        if head is not None and sid != head:
+            raise ValueError(
+                f"HEAD {head} is not an ancestor of branch {branch!r} "
+                f"head {target}; cannot fast-forward")
+        tmp_head = os.path.join(self.manifest_dir,
+                                f".tmp-head-{uuid.uuid4().hex}")
+        with open(tmp_head, "w") as f:
+            f.write(str(target))
+        os.rename(tmp_head, self._head_path())
+        return target
+
     def rollback_to(self, snapshot_id: int, **meta) -> int:
         """Iceberg-style rollback: HEAD advances to a NEW snapshot whose
         file set is the target's — history is preserved (the bad
@@ -145,8 +188,19 @@ class SnapshotTable:
                             self.current_snapshot_id())
 
     # -- commit --------------------------------------------------------------
-    def _commit(self, files: list[str], meta: dict, parent: int | None) -> int:
-        sid = (parent + 1) if parent is not None else 0
+    def _next_sid(self) -> int:
+        """Globally unique snapshot id: max over every manifest on disk
+        (branch staging can diverge from HEAD, so parent+1 would
+        collide)."""
+        mx = -1
+        for fn in os.listdir(self.manifest_dir):
+            if fn.startswith("snapshot-") and fn.endswith(".json"):
+                mx = max(mx, int(fn[len("snapshot-"):-len(".json")]))
+        return mx + 1
+
+    def _commit(self, files: list[str], meta: dict, parent: int | None,
+                move_head: bool = True) -> int:
+        sid = self._next_sid()
         manifest = {
             "snapshot_id": sid,
             "parent": parent,
@@ -159,10 +213,12 @@ class SnapshotTable:
             json.dump(manifest, f)
         os.rename(tmp, os.path.join(self.manifest_dir,
                                     f"snapshot-{sid}.json"))
-        tmp_head = os.path.join(self.manifest_dir, f".tmp-head-{uuid.uuid4().hex}")
-        with open(tmp_head, "w") as f:
-            f.write(str(sid))
-        os.rename(tmp_head, self._head_path())
+        if move_head:
+            tmp_head = os.path.join(self.manifest_dir,
+                                    f".tmp-head-{uuid.uuid4().hex}")
+            with open(tmp_head, "w") as f:
+                f.write(str(sid))
+            os.rename(tmp_head, self._head_path())
         return sid
 
     def _write_data(self, df: DataFrame) -> str:

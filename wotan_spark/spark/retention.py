@@ -113,13 +113,27 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
         return {"expired": 0, "dirs_deleted": 0}
     refs = table.refs()
     ref_sids = set(refs["tags"].values()) | set(refs["branches"].values())
+    chain_sids = {m["snapshot_id"] for m in chain}
+    # a branch pins its STAGED (off-chain) ancestor tail too — staged
+    # commits must survive as a unit until published or dropped; chain
+    # ancestors follow the normal keep window (tags pin only themselves)
+    visited: set = set()
+    for sid in list(refs["branches"].values()):
+        while sid is not None and sid not in chain_sids \
+                and sid not in visited:
+            visited.add(sid)
+            ref_sids.add(sid)
+            try:
+                sid = table._manifest(sid).get("parent")
+            except FileNotFoundError:
+                break
     kept, old = chain[-keep_last:], chain[:-keep_last]
     pinned = [m for m in old if m["snapshot_id"] in ref_sids]
     expired = [m for m in old if m["snapshot_id"] not in ref_sids]
-    # orphans: manifests outside the walkable chain (pinned by a ref in
-    # an earlier expiry, ref since dropped) — reclaim them now, or their
-    # files would leak forever
-    chain_sids = {m["snapshot_id"] for m in chain}
+    # orphans: manifests outside the walkable chain (staged branch
+    # commits, or snapshots pinned by a ref in an earlier expiry whose
+    # ref was since dropped) — unreferenced ones are reclaimed now, or
+    # their files would leak forever
     for fn in os.listdir(table.manifest_dir):
         if not (fn.startswith("snapshot-") and fn.endswith(".json")):
             continue
