@@ -200,8 +200,9 @@ def test_write_audit_publish_flow(spark, tmp_path):
     import pytest
     from wotan_spark.spark.lakehouse import SnapshotTable
     t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(4).withColumnRenamed("id", "x"))
     t.overwrite(spark.range(5).withColumnRenamed("id", "x"))
-    t.create_branch("audit")
+    t.create_branch("audit")                     # at HEAD (chain len 2)
 
     s_a = t.commit_to_branch(
         spark.range(8).withColumnRenamed("id", "x"), "audit")
@@ -212,8 +213,9 @@ def test_write_audit_publish_flow(spark, tmp_path):
     assert t.read(spark, ref="audit").count() == 10  # 8 overwrite + 2
     assert t._manifest(s_b)["parent"] == s_a
 
-    # staged commits survive an expiry while the branch exists
-    expire_snapshots(t, keep_last=1)
+    # staged commits survive an expiry that DOES run (chain 2 > keep 1)
+    rep = expire_snapshots(t, keep_last=1)
+    assert rep["expired"] == 1                   # the old HEAD snapshot
     assert t.read(spark, ref="audit").count() == 10
 
     published = t.fast_forward("audit")          # audit passed: publish
@@ -229,3 +231,19 @@ def test_write_audit_publish_flow(spark, tmp_path):
     t2.overwrite(spark.range(9).withColumnRenamed("id", "x"))  # diverge
     with pytest.raises(ValueError, match="ancestor"):
         t2.fast_forward("b")
+
+
+def test_snapshot_ids_never_reused_after_orphan_reclaim(spark, tmp_path):
+    """Expiry deletes manifests; the id allocator must stay monotonic so
+    old recorded snapshot ids can never silently rebind to new data."""
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(1).withColumnRenamed("id", "x"))
+    t.overwrite(spark.range(2).withColumnRenamed("id", "x"))
+    t.create_branch("b")
+    s2 = t.commit_to_branch(
+        spark.range(3).withColumnRenamed("id", "x"), "b")  # disk max id
+    t.drop_ref("b")
+    expire_snapshots(t, keep_last=1)          # reclaims s0 + orphan s2
+    s_new = t.overwrite(spark.range(4).withColumnRenamed("id", "x"))
+    assert s_new > s2                          # never reused

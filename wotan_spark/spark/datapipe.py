@@ -22,7 +22,17 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 
 def _words(col):
-    return F.split(F.lower(F.col(col)), " ")
+    """Word tokenization rule — ONE definition for every text stage.
+    Accepts a column name or a Column (compose null-safety etc. at the
+    call site without re-stating the split rule)."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.split(F.lower(c), " ")
+
+
+def _words_safe(col: str):
+    """``_words`` with NULL text read as empty (for operators that must
+    emit a row per input doc regardless)."""
+    return _words(F.coalesce(F.col(col), F.lit("")))
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -1176,7 +1186,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
-                bucket_width: int = 64) -> DataFrame:
+                bucket_width: int = 64, persist: bool = True) -> DataFrame:
     """Remove every occurrence of any word ``n``-gram span repeated at
     least ``min_count`` times across the corpus (with multiplicity, so
     intra-document repeats count) — span-level dedup in the spirit of
@@ -1198,10 +1208,8 @@ def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
     """
     _validate_span_params(n, min_count)
     base = _spread(docs, "doc_id").select(
-        "doc_id",
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
-        .alias("w"))
-    kept = _dedup_array_spans(base, n, min_count, bucket_width)
+        "doc_id", _words_safe("text").alias("w"))
+    kept = _dedup_array_spans(base, n, min_count, bucket_width, persist)
     return kept.select(
         "doc_id",
         F.concat_ws(" ", "kept").alias("clean_text"),
@@ -1209,8 +1217,8 @@ def dedup_spans(docs: DataFrame, n: int = 50, min_count: int = 2,
 
 
 def dedup_token_spans(sequences: DataFrame, n: int = 50,
-                      min_count: int = 2,
-                      bucket_width: int = 64) -> DataFrame:
+                      min_count: int = 2, bucket_width: int = 64,
+                      persist: bool = True) -> DataFrame:
     """``dedup_spans`` for the TOKENIZED payload: repeated token
     ``n``-gram spans across the sequence corpus are removed from every
     occurrence; returns ``(doc_id, kept, n_tok, n_dropped)`` with
@@ -1224,7 +1232,7 @@ def dedup_token_spans(sequences: DataFrame, n: int = 50,
         "doc_id",
         F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
         .alias("w"))
-    kept = _dedup_array_spans(base, n, min_count, bucket_width)
+    kept = _dedup_array_spans(base, n, min_count, bucket_width, persist)
     return kept.select("doc_id", "kept",
                        F.col("n_words").alias("n_tok"), "n_dropped")
 
@@ -1235,16 +1243,21 @@ def _validate_span_params(n: int, min_count: int) -> None:
 
 
 def _dedup_array_spans(base: DataFrame, n: int, min_count: int,
-                       bucket_width: int) -> DataFrame:
+                       bucket_width: int, persist: bool = True) -> DataFrame:
     """Shared span-dedup core over ``(doc_id, w: array<any>)``:
     (doc_id, kept: array, n_words, n_dropped).  See ``dedup_spans``
     for the plan-shape discussion.  ``base`` feeds four plan branches
     (gram counting, the dup join probe, the survivor points, and the
-    totals), so it is persisted for the plan's lifetime — same
-    discipline as the Jaccard inverted-index build."""
+    totals), so by default it is persisted — same discipline as the
+    Jaccard inverted-index build; like there, the cache lives until
+    Spark's LRU evicts it or the app clears it (the result is lazy, so
+    there is no sound earlier unpersist point).  Pass ``persist=False``
+    from memory-constrained callers to trade executor storage for
+    recomputed scans."""
     from wotan_spark.spark.joins import interval_join
 
-    base = base.persist()
+    if persist:
+        base = base.persist()
     # positional gram hashes, WITH multiplicity (unlike _gram_hashes)
     idx = F.sequence(F.lit(0), F.size("w") - n)
     gh = F.when(

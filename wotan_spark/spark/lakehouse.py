@@ -165,7 +165,12 @@ class SnapshotTable:
         head = self.current_snapshot_id()
         sid = target
         while sid is not None and sid != head:
-            sid = self._manifest(sid).get("parent")
+            try:
+                sid = self._manifest(sid).get("parent")
+            except FileNotFoundError:
+                # the walk crossed an expired manifest: HEAD advanced and
+                # the branch anchor aged out — genuinely diverged
+                sid = None
         if head is not None and sid != head:
             raise ValueError(
                 f"HEAD {head} is not an ancestor of branch {branch!r} "
@@ -189,14 +194,28 @@ class SnapshotTable:
 
     # -- commit --------------------------------------------------------------
     def _next_sid(self) -> int:
-        """Globally unique snapshot id: max over every manifest on disk
-        (branch staging can diverge from HEAD, so parent+1 would
-        collide)."""
+        """Globally unique, MONOTONIC snapshot id.  Branch staging can
+        diverge from HEAD (parent+1 would collide), and expiry deletes
+        manifests (a disk max alone could REUSE a reclaimed id, silently
+        rebinding old recorded ids to new snapshots) — so a persistent
+        counter floors the allocation."""
+        counter = os.path.join(self.manifest_dir, "NEXT_SID")
+        try:
+            with open(counter) as f:
+                nxt = int(f.read().strip())
+        except FileNotFoundError:
+            nxt = 0
         mx = -1
         for fn in os.listdir(self.manifest_dir):
             if fn.startswith("snapshot-") and fn.endswith(".json"):
                 mx = max(mx, int(fn[len("snapshot-"):-len(".json")]))
-        return mx + 1
+        sid = max(nxt, mx + 1)
+        tmp = os.path.join(self.manifest_dir,
+                           f".tmp-sid-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(sid + 1))
+        os.rename(tmp, counter)
+        return sid
 
     def _commit(self, files: list[str], meta: dict, parent: int | None,
                 move_head: bool = True) -> int:

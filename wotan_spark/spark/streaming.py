@@ -415,11 +415,15 @@ def run_pipeline_ingestion(spark: SparkSession, landing_dir: str,
 
     stream = stream_sequences(spark, landing_dir, max_files_per_trigger)
     # normalize: a path-spelling change across a crash restart ("ckpt/"
-    # vs "ckpt", relative vs absolute cwd path) must not defeat the
-    # replay guard.  URI locations (hdfs://, s3a://, file:) are already
-    # absolute — os.path.abspath would bake the driver cwd into them and
-    # mangle the scheme, so only bare local paths get abspath'd.
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", checkpoint_dir):
+    # vs "ckpt", relative vs absolute cwd path, "file:/tmp/c" vs
+    # "/tmp/c") must not defeat the replay guard.  Remote URI locations
+    # (hdfs://, s3a://) are already absolute — os.path.abspath would
+    # bake the driver cwd into them and mangle the scheme — while
+    # file: URIs reduce to their local path.
+    m = re.match(r"^file:(//)?(?P<p>/.*)$", checkpoint_dir)
+    if m:
+        norm = os.path.abspath(m.group("p"))
+    elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", checkpoint_dir):
         norm = checkpoint_dir.rstrip("/")
     else:
         norm = os.path.abspath(checkpoint_dir)
