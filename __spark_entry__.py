@@ -1101,6 +1101,19 @@ def q_dedup_token_spans(spark, sf_dir):
         "n_tok", "n_dropped")
 
 
+def q_topk_t100_union(spark, sf_dir):
+    """Mergeable frequent-items continuous aggregate (the third sketch
+    family): tier-10 DataSketches top-k sketches of token values ->
+    tier-100 by approx_top_k_combine -> exploded per-item estimates.
+    With k >= the bucket's distinct count the sketch tracks every item
+    exactly (no eviction), so the oracle is a plain GROUP BY count —
+    same honest-envelope pattern as the HLL distinct tiers."""
+    from wotan_spark.spark.freq import cascade_topk, tier_topk, topk_estimate
+    from wotan_spark.spark.synth import sequences_from_events
+    seq = sequences_from_events(spark, sf_dir)
+    return topk_estimate(cascade_topk(tier_topk(seq, 10), 10), k=128)
+
+
 def q_curation_funnel(spark, sf_dir):
     """One-call corpus curation funnel (quality -> exact dedup ->
     decontaminate -> near-dup removal -> stratified sample) with per-stage
@@ -1241,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_sessions": _wrap(q_interval_sessions),
         "dedup_spans": _wrap(q_dedup_spans),
         "dedup_token_spans": _wrap(q_dedup_token_spans),
+        "topk_t100_union": _wrap(q_topk_t100_union),
     }
 
 
@@ -2871,6 +2885,20 @@ def oracle_sql() -> dict[str, str]:
                len(t.w)::BIGINT AS n_words,
                (len(t.w) - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
         FROM w t LEFT JOIN reb r USING (doc_id)
+    """
+
+    # frequent-items tier: with k >= per-bucket distincts the sketch has
+    # no eviction, so exact GROUP BY counts are the oracle
+    sqls["topk_t100_union"] = """
+        WITH seq AS (
+            SELECT 'user_' || user_id AS doc_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS t,
+                   round(value * 1000)::INT AS tok
+            FROM events)
+        SELECT doc_id, t // 100 AS bucket, tok AS token,
+               count(*)::BIGINT AS cnt
+        FROM seq WHERE t < 4096 GROUP BY 1, 2, 3
     """
 
     # token-payload span dedup: same islands logic over the md5-vocab

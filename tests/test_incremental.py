@@ -40,14 +40,16 @@ def test_sketch_tiers_build_resume_and_incremental(spark, tmp_path):
     from wotan_spark.spark.histogram import tier_histogram
 
     cfg = PipelineConfig(method="mean", window_length=17,
-                         sketch_bins=16, sketch_distinct=True)
+                         sketch_bins=16, sketch_distinct=True,
+                         sketch_topk=True)
     all_seq = synth_sequences(spark, 10, median_len=150, max_len=400)
     first = all_seq.filter("doc_id < 'doc_00000006'")
     late = all_seq.filter("doc_id >= 'doc_00000006'")
 
     p = Pipeline(spark, str(tmp_path / "sk"), cfg)
     out = p.run(sequences=first, stop_after="sketches")
-    assert {"hist10", "hist100", "distinct10", "distinct100"} <= set(out)
+    assert {"hist10", "hist100", "distinct10", "distinct100",
+            "topk10", "topk100"} <= set(out)
 
     # resume: a fresh pipeline object re-runs nothing
     p2 = Pipeline(spark, str(tmp_path / "sk"), cfg)
@@ -70,6 +72,16 @@ def test_sketch_tiers_build_resume_and_incremental(spark, tmp_path):
               for r in distinct_counts(cascade_distinct(
                   tier_distinct(all_seq, 10), 10)).collect()}
     assert got_d == want_d and len(got_d) > 0
+
+    from wotan_spark.spark.freq import cascade_topk, tier_topk, topk_estimate
+    got_t = {(r.doc_id, r.bucket, r.token): r.cnt
+             for r in topk_estimate(
+                 p2.tables["topk100"].read(spark)
+                 .select("doc_id", "bucket", "sk"), k=128).collect()}
+    want_t = {(r.doc_id, r.bucket, r.token): r.cnt
+              for r in topk_estimate(cascade_topk(
+                  tier_topk(all_seq, 10), 10), k=128).collect()}
+    assert got_t == want_t and len(got_t) > 0
 
 
 def test_incremental_merge_never_fakes_sketch_stage_done(spark, tmp_path):

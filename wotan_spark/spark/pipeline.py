@@ -67,13 +67,17 @@ class PipelineConfig:
     # machinery: ``sketch_bins`` enables fixed-bin histogram tables
     # (hist10 + hist100 by exact additive cascade), ``sketch_distinct``
     # enables HLL distinct-count tables (distinct10 + distinct100 by
-    # exact union cascade).  Fingerprinted per-stage so toggling sketches
-    # never invalidates the detrend/rollup snapshots.
+    # exact union cascade), ``sketch_topk`` enables frequent-items
+    # tables (topk10 + topk100 by sketch merge).  Fingerprinted
+    # per-family so toggling one family never invalidates another or
+    # the detrend/rollup snapshots.
     sketch_bins: int | None = None
     sketch_lo: float = 0.99
     sketch_hi: float = 1.01
     sketch_distinct: bool = False
     sketch_lgk: int = 12
+    sketch_topk: bool = False
+    sketch_max_items: int = 1024
 
     def sketch_fingerprint(self, family: str) -> str:
         """Per-FAMILY fingerprint: enabling/tuning one sketch family must
@@ -83,6 +87,9 @@ class PipelineConfig:
                     "hi": self.sketch_hi, "tier_factor": self.tier_factor}
         elif family == "distinct":
             blob = {"lgk": self.sketch_lgk,
+                    "tier_factor": self.tier_factor}
+        elif family == "topk":
+            blob = {"max_items": self.sketch_max_items,
                     "tier_factor": self.tier_factor}
         else:
             raise ValueError(f"unknown sketch family {family!r}")
@@ -136,6 +143,7 @@ class Pipeline:
             name: SnapshotTable(os.path.join(root, name))
             for name in ("sequences", "detrended", "tier10", "tier100",
                          "hist10", "hist100", "distinct10", "distinct100",
+                         "topk10", "topk100",
                          "blocks", "chunks", "lineage")
         }
 
@@ -194,9 +202,10 @@ class Pipeline:
             raise ValueError(
                 "stop_after='chunks' requires pack_context_len to be set")
         if stop_after == "sketches" and not (cfg.sketch_bins
-                                             or cfg.sketch_distinct):
-            raise ValueError("stop_after='sketches' requires sketch_bins "
-                             "or sketch_distinct to be set")
+                                             or cfg.sketch_distinct
+                                             or cfg.sketch_topk):
+            raise ValueError("stop_after='sketches' requires sketch_bins, "
+                             "sketch_distinct, or sketch_topk to be set")
         if cfg.pack_context_len:
             # packing is a global re-bucketing, so unlike the tier tables
             # it cannot be maintained by incremental merges: stamp the
@@ -283,6 +292,14 @@ class Pipeline:
                 lambda df: tier_distinct(df, factor=cfg.tier_factor,
                                          lgk=cfg.sketch_lgk),
                 lambda df: cascade_distinct(df, step=cfg.tier_factor)))
+        if cfg.sketch_topk:
+            from wotan_spark.spark.freq import cascade_topk, tier_topk
+            fams.append((
+                "topk10", "topk100", cfg.sketch_fingerprint("topk"),
+                lambda df: tier_topk(df, factor=cfg.tier_factor,
+                                     max_items=cfg.sketch_max_items),
+                lambda df: cascade_topk(df, step=cfg.tier_factor,
+                                        max_items=cfg.sketch_max_items)))
         return fams
 
     def _run_sketch_stages(self, seq_df: DataFrame, seq_sid,
@@ -332,7 +349,8 @@ class Pipeline:
     # ------------------------------------------------------------------
     def compact_tables(self, tables: tuple[str, ...] = (
                            "tier10", "tier100", "hist10", "hist100",
-                           "distinct10", "distinct100"),
+                           "distinct10", "distinct100", "topk10",
+                           "topk100"),
                        target_file_rows: int = 1_000_000,
                        cluster_by: str | None = "bucket",
                        run_id: str | None = None) -> dict:
