@@ -12,13 +12,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _exact_counts(seq, factor):
+    """Bucket by ORIGINAL position, THEN drop sentinels — the engine
+    filters after posexplode, so gaps keep their positions."""
     out = {}
     for r in seq.collect():
         toks = np.asarray(r.tokens, dtype=np.int64)
-        toks = toks[toks != -2147483648]
         nb = (len(toks) + factor - 1) // factor
         for b in range(nb):
             seg = toks[b * factor:(b + 1) * factor]
+            seg = seg[seg != -2147483648]
             for v, c in zip(*np.unique(seg, return_counts=True)):
                 out[(r.doc_id, b, int(v))] = int(c)
     return out

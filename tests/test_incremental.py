@@ -54,7 +54,8 @@ def test_sketch_tiers_build_resume_and_incremental(spark, tmp_path):
     # resume: a fresh pipeline object re-runs nothing
     p2 = Pipeline(spark, str(tmp_path / "sk"), cfg)
     out2 = p2.run(stop_after="sketches")
-    assert not any(k.startswith(("hist", "distinct")) for k in out2)
+    assert not any(k.startswith(("hist", "distinct", "topk"))
+                   for k in out2)
 
     # incremental merge lands the late docs; state == full recompute
     p2.update_incremental(late)

@@ -40,6 +40,22 @@ from pyspark.sql import DataFrame
 from wotan_spark.spark.synth import SENTINEL
 
 
+def token_points(sequences: DataFrame) -> DataFrame:
+    """(doc_id, t, token) — exploded token stream with gap sentinels
+    dropped: the ONE definition of sketch-input membership shared by
+    every token-sketch family (distinct, frequent-items)."""
+    return (sequences
+            .select("doc_id", F.posexplode("tokens").alias("t", "token"))
+            .filter(F.col("token") != int(SENTINEL)))
+
+
+def bucket_col(col: str, width: int):
+    """The tier bucket expression (exact integer semantics via the long
+    cast of the float division — positions and widths are far below
+    2^52, where this is exact), shared by every sketch family."""
+    return (F.col(col) / width).cast("long").alias("bucket")
+
+
 def tier_distinct(sequences: DataFrame, factor: int = 10,
                   lgk: int = 12) -> DataFrame:
     """Per-(series, ``t div factor``) HLL sketch of distinct token values
@@ -51,11 +67,8 @@ def tier_distinct(sequences: DataFrame, factor: int = 10,
         raise ValueError("factor must be >= 1")
     if not 4 <= lgk <= 21:                 # datasketches HLL bounds
         raise ValueError("lgk must be in [4, 21]")
-    pts = (sequences
-           .select("doc_id", F.posexplode("tokens").alias("t", "token"))
-           .filter(F.col("token") != int(SENTINEL)))
-    return (pts.groupBy("doc_id",
-                        (F.col("t") / factor).cast("long").alias("bucket"))
+    return (token_points(sequences)
+            .groupBy("doc_id", bucket_col("t", factor))
             .agg(F.hll_sketch_agg("token", F.lit(lgk)).alias("sk")))
 
 
@@ -65,9 +78,7 @@ def cascade_distinct(tier: DataFrame, step: int = 10) -> DataFrame:
     ``step`` sketch rows per output group."""
     if step < 1:
         raise ValueError("step must be >= 1")
-    return (tier.groupBy("doc_id",
-                         (F.col("bucket") / step).cast("long")
-                         .alias("bucket"))
+    return (tier.groupBy("doc_id", bucket_col("bucket", step))
             .agg(F.hll_union_agg("sk").alias("sk")))
 
 

@@ -30,7 +30,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from wotan_spark.spark.synth import SENTINEL
+from wotan_spark.spark.distinct import bucket_col, token_points
+
+_MAX_ITEMS_CAP = 1_000_000      # ApproxTopK maxItemsTracked hard limit
+
+
+def _check_max_items(max_items: int) -> None:
+    if not 1 <= max_items <= _MAX_ITEMS_CAP:
+        raise ValueError(
+            f"max_items must be in [1, {_MAX_ITEMS_CAP}]")
 
 
 def tier_topk(sequences: DataFrame, factor: int = 10,
@@ -39,13 +47,9 @@ def tier_topk(sequences: DataFrame, factor: int = 10,
     values from the packed sequence table: (doc_id, bucket, sk)."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
-    if max_items < 1:
-        raise ValueError("max_items must be >= 1")
-    pts = (sequences
-           .select("doc_id", F.posexplode("tokens").alias("t", "token"))
-           .filter(F.col("token") != int(SENTINEL)))
-    return (pts.groupBy("doc_id",
-                        (F.col("t") / factor).cast("long").alias("bucket"))
+    _check_max_items(max_items)
+    return (token_points(sequences)
+            .groupBy("doc_id", bucket_col("t", factor))
             .agg(F.expr(f"approx_top_k_accumulate(token, {int(max_items)})")
                  .alias("sk")))
 
@@ -56,9 +60,8 @@ def cascade_topk(tier: DataFrame, step: int = 10,
     raw data."""
     if step < 1:
         raise ValueError("step must be >= 1")
-    return (tier.groupBy("doc_id",
-                         (F.col("bucket") / step).cast("long")
-                         .alias("bucket"))
+    _check_max_items(max_items)
+    return (tier.groupBy("doc_id", bucket_col("bucket", step))
             .agg(F.expr(f"approx_top_k_combine(sk, {int(max_items)})")
                  .alias("sk")))
 
