@@ -242,3 +242,22 @@ def test_interval_join_validates_params(spark):
         interval_join(pts, ivs, "k", "t", "s", "e", 4, how="outer")
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(pts, ivs, "k", "t", "s", "e", 0)
+
+
+def test_interval_join_auto_bucket_width(spark):
+    """bucket_width=None tunes to the median interval length and gives
+    the same matches as any explicit width; empty interval frames fall
+    back cleanly."""
+    from wotan_spark.spark.joins import interval_join
+    pts, ivs = _iv_frames(spark)
+    explicit = {(r.k, r.t, r.name_iv)
+                for r in interval_join(pts, ivs, on="k", point_col="t",
+                                       start_col="s", end_col="e",
+                                       bucket_width=4).collect()}
+    auto = {(r.k, r.t, r.name_iv)
+            for r in interval_join(pts, ivs, on="k", point_col="t",
+                                   start_col="s", end_col="e").collect()}
+    assert auto == explicit
+    empty = ivs.filter("1 = 0")
+    assert interval_join(pts, empty, on="k", point_col="t",
+                         start_col="s", end_col="e").count() == 0

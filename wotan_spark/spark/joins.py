@@ -126,7 +126,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
 def interval_join(points: DataFrame, intervals: DataFrame,
                   on: list[str] | str, point_col: str,
                   start_col: str, end_col: str,
-                  bucket_width: int | float,
+                  bucket_width: int | float | None = None,
                   how: str = "inner", suffix: str = "_iv") -> DataFrame:
     """For every point row, attach each half-open interval ``[start, end)``
     of the same key group that contains it (one output row per match;
@@ -146,26 +146,44 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     rows.  Pick ``bucket_width`` near the TYPICAL interval length: too
     small replicates long intervals over many buckets, too large packs
     unrelated rows into one bucket and degrades to per-bucket nested
-    loops.  Integer times use exact integer ``div`` throughout (no float
+    loops.  ``bucket_width=None`` (default) auto-tunes to the median
+    interval length via one small eager aggregation over the intervals
+    side.  Integer times use exact integer ``div`` throughout (no float
     rounding at bucket edges, safe past 2^53); float times use a
     consistent ``floor`` on both sides.  Empty intervals (``end <=
     start``) match nothing, as half-open semantics dictate.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
-    if not bucket_width > 0:
-        raise ValueError("bucket_width must be > 0")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in intervals.columns if c not in keys]
     if "__bk" in points.columns or "__bk" in intervals.columns:
         raise ValueError("column name '__bk' is reserved")
 
     integral = {"integer", "long", "short", "byte"}
-    int_mode = (isinstance(bucket_width, int)
-                and points.schema[point_col].dataType.typeName() in integral
-                and intervals.schema[start_col].dataType.typeName()
-                in integral
-                and intervals.schema[end_col].dataType.typeName() in integral)
+    cols_integral = (
+        points.schema[point_col].dataType.typeName() in integral
+        and intervals.schema[start_col].dataType.typeName() in integral
+        and intervals.schema[end_col].dataType.typeName() in integral)
+    if bucket_width is None:
+        # auto-tune to the median interval length — ONE small eager
+        # aggregation over the intervals side (documented trade: this
+        # call is no longer fully lazy, but it removes the operator's
+        # main footgun of a mis-sized bucket)
+        med = (intervals
+               .filter(F.col(end_col) > F.col(start_col))
+               .select(F.expr(
+                   f"percentile_approx(`{end_col}` - `{start_col}`, 0.5)")
+                   .alias("m"))
+               .first()["m"])
+        if cols_integral:
+            bucket_width = max(1, int(med)) if med is not None else 1
+        else:
+            bucket_width = float(med) if med is not None and med > 0 \
+                else 1.0
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be > 0")
+    int_mode = cols_integral and isinstance(bucket_width, int)
     if int_mode:
         w = F.lit(int(bucket_width))
         pb = F.expr(f"`{point_col}` div {int(bucket_width)}")
