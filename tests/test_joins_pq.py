@@ -261,3 +261,22 @@ def test_interval_join_auto_bucket_width(spark):
     empty = ivs.filter("1 = 0")
     assert interval_join(pts, empty, on="k", point_col="t",
                          start_col="s", end_col="e").count() == 0
+
+
+def test_interval_join_nan_times_never_match(spark):
+    """A NaN point time has no bucket (NULL after the long cast), so it
+    matches nothing in inner mode and survives with NULL payload in left
+    mode — pinned here as the documented semantics."""
+    from wotan_spark.spark.joins import interval_join
+    pts = spark.createDataFrame(
+        [("a", 1.0, 0), ("a", float("nan"), 1)],
+        "k string, t double, pid int")
+    ivs = spark.createDataFrame([("a", 0.0, 10.0, "i0")],
+                                "k string, s double, e double, name string")
+    inner = interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                          end_col="e", bucket_width=4.0)
+    assert {r.pid for r in inner.collect()} == {0}
+    left = interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                         end_col="e", bucket_width=4.0, how="left")
+    got = {r.pid: r.name_iv for r in left.collect()}
+    assert got == {0: "i0", 1: None}

@@ -247,3 +247,28 @@ def test_snapshot_ids_never_reused_after_orphan_reclaim(spark, tmp_path):
     expire_snapshots(t, keep_last=1)          # reclaims s0 + orphan s2
     s_new = t.overwrite(spark.range(4).withColumnRenamed("id", "x"))
     assert s_new > s2                          # never reused
+
+
+def test_wap_governed_curation_publish(spark, tmp_path):
+    """End-to-end governance composition: curate the corpus, stage the
+    survivors on an audit branch, validate against the funnel report,
+    then publish — HEAD serves the old corpus until the fast-forward."""
+    from wotan_spark.spark.datapipe import curate_corpus
+    from wotan_spark.spark.lakehouse import SnapshotTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = SnapshotTable(str(tmp_path / "corpus"))
+    t.overwrite(docs, gen="raw")
+    n_raw = t.read(spark).count()
+
+    kept, funnel = curate_corpus(t.read(spark), min_tokens=20)
+    t.create_branch("audit")
+    t.commit_to_branch(kept, "audit", stage="curated")
+
+    staged = t.read(spark, ref="audit")
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    assert staged.count() == min(stages.values())   # final funnel stage
+    assert t.read(spark).count() == n_raw           # HEAD still raw
+
+    t.fast_forward("audit")
+    assert t.read(spark).count() == staged.count()  # published
