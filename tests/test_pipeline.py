@@ -302,3 +302,30 @@ def test_pipeline_stop_after_chunks_requires_context_len(spark, tmp_path):
     p = Pipeline(spark, str(tmp_path / "tables"), PipelineConfig())
     with pytest.raises(ValueError, match="pack_context_len"):
         p.run(sequences=seq, stop_after="chunks")
+
+
+def test_merge_buckets_rewrites_only_overlapping_files(spark, tmp_path):
+    """File-level copy-on-write: a merge touching only recent buckets
+    must carry old, non-overlapping data dirs into the new manifest
+    verbatim instead of rewriting the whole table."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    old = spark.createDataFrame(
+        [("d", b, float(b)) for b in range(0, 50)],
+        "doc_id string, bucket long, v double")
+    recent = spark.createDataFrame(
+        [("d", b, float(b)) for b in range(50, 100)],
+        "doc_id string, bucket long, v double")
+    t.overwrite(old)
+    t.merge_buckets(spark, recent, keys=["doc_id", "bucket"])
+    dirs_before = set(t.data_files())
+
+    upd = spark.createDataFrame([("d", 99, -1.0), ("d", 120, -2.0)],
+                                "doc_id string, bucket long, v double")
+    t.merge_buckets(spark, upd, keys=["doc_id", "bucket"])
+    dirs_after = set(t.data_files())
+    # the dir holding buckets 0..49 survives untouched in the manifest
+    untouched = dirs_before & dirs_after
+    assert len(untouched) >= 1
+    got = {(r.bucket): r.v for r in t.read(spark).collect()}
+    assert got[99] == -1.0 and got[120] == -2.0   # replaced + appended
+    assert got[0] == 0.0 and len(got) == 101

@@ -23,6 +23,7 @@ import os
 import time
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -293,13 +294,54 @@ class SnapshotTable:
                       keys: list[str], **meta) -> int:
         """MERGE-INTO-equivalent upsert keyed on ``keys``: new rows replace
         matching rows of the current snapshot (copy-on-write, like Iceberg
-        MERGE)."""
-        cur = self.read(spark)
-        if cur is None:
+        MERGE).
+
+        File-level copy-on-write: when the key set includes ``bucket``,
+        parent data dirs whose per-file bucket stats cannot overlap the
+        incoming rows' bucket range are carried into the new manifest
+        UNTOUCHED — only overlapping dirs rewrite.  This is exact, not
+        merely conservative: a stored row matching an incoming key has
+        that key's bucket value, so it must live in an overlapping file.
+        With time-ordered ingestion (late data touches recent buckets)
+        and range-clustered compaction, merge cost becomes proportional
+        to the touched tail, not the table — the Iceberg MERGE cost
+        model."""
+        if self.current_snapshot_id() is None:
             return self.overwrite(df, **meta)
-        remaining = cur.join(df.select(*keys).distinct(), keys, "left_anti")
-        merged = remaining.unionByName(df)
-        return self.overwrite(merged, **meta)
+        dirs = self._manifest(self.current_snapshot_id())["files"]
+        kept_dirs: list[str] = []
+        affected: list[str] = []
+        if "bucket" in keys:
+            df = df.persist()
+            b = df.agg(F.min("bucket"), F.max("bucket")).first()
+            bmin, bmax = b[0], b[1]
+            for d in dirs:
+                if bmin is None:            # empty incoming batch
+                    kept_dirs.append(d)
+                    continue
+                stats = self._load_stats(d)
+                olap = stats is None
+                for s in (stats or {}).values():
+                    c = s.get("columns", {}).get("bucket")
+                    if c is None or not (c[1] < bmin or c[0] > bmax):
+                        olap = True
+                        break
+                (affected if olap else kept_dirs).append(d)
+        else:
+            affected = list(dirs)
+        try:
+            if affected:
+                cur = spark.read.parquet(*affected)
+                remaining = cur.join(df.select(*keys).distinct(), keys,
+                                     "left_anti")
+                new_dir = self._write_data(remaining.unionByName(df))
+            else:
+                new_dir = self._write_data(df)
+        finally:
+            if "bucket" in keys:
+                df.unpersist()
+        return self._commit(kept_dirs + [new_dir], meta,
+                            self.current_snapshot_id())
 
     def compact(self, spark: SparkSession, target_file_rows: int = 1_000_000,
                 cluster_by: str | None = None, **meta) -> int:
