@@ -280,3 +280,19 @@ def test_interval_join_nan_times_never_match(spark):
                          end_col="e", bucket_width=4.0, how="left")
     got = {r.pid: r.name_iv for r in left.collect()}
     assert got == {0: "i0", 1: None}
+
+
+def test_interval_join_auto_width_survives_one_huge_interval(spark):
+    """The auto width is floored at max_length/4096, so one huge interval
+    amid short ones cannot explode the bucket sequence."""
+    from wotan_spark.spark.joins import interval_join
+    pts = spark.createDataFrame(
+        [("a", 5, 0), ("a", 10_000_000_000, 1)], "k string, t long, pid int")
+    ivs = spark.createDataFrame(
+        [("a", 0, 2, "s0"), ("a", 2, 4, "s1"), ("a", 4, 6, "s2"),
+         ("a", 0, 20_000_000_000, "huge")],
+        "k string, s long, e long, name string")
+    got = {(r.pid, r.name_iv)
+           for r in interval_join(pts, ivs, on="k", point_col="t",
+                                  start_col="s", end_col="e").collect()}
+    assert got == {(0, "s2"), (0, "huge"), (1, "huge")}

@@ -329,3 +329,58 @@ def test_merge_buckets_rewrites_only_overlapping_files(spark, tmp_path):
     got = {(r.bucket): r.v for r in t.read(spark).collect()}
     assert got[99] == -1.0 and got[120] == -2.0   # replaced + appended
     assert got[0] == 0.0 and len(got) == 101
+
+
+def test_clustered_compaction_keeps_merge_pruning(spark, tmp_path):
+    """compact(cluster_by) commits one dir per range-clustered file, so
+    a later tail merge still carries non-overlapping ranges untouched
+    instead of rewriting the whole freshly-compacted table."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(f"d{i % 7}", b, float(b)) for i in range(7)
+            for b in range(200)]
+    t.overwrite(spark.createDataFrame(
+        rows, "doc_id string, bucket long, v double"))
+    t.compact(spark, target_file_rows=300, cluster_by="bucket")
+    dirs_before = set(t._manifest(t.current_snapshot_id())["files"])
+    assert len(dirs_before) > 1                     # per-file dirs
+
+    upd = spark.createDataFrame([("d0", 199, -1.0)],
+                                "doc_id string, bucket long, v double")
+    t.merge_buckets(spark, upd, keys=["doc_id", "bucket"])
+    dirs_after = set(t._manifest(t.current_snapshot_id())["files"])
+    assert len(dirs_before & dirs_after) >= 1       # head ranges untouched
+    got = t.read(spark)
+    assert got.count() == len(rows)
+    assert got.filter("doc_id = 'd0' and bucket = 199").first().v == -1.0
+
+
+def test_merge_buckets_does_not_evict_caller_cache(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [("d", 0, 1.0)], "doc_id string, bucket long, v double"))
+    upd = spark.createDataFrame([("d", 1, 2.0)],
+                                "doc_id string, bucket long, v double")
+    upd = upd.persist()
+    try:
+        upd.count()
+        t.merge_buckets(spark, upd, keys=["doc_id", "bucket"])
+        assert upd.is_cached                 # caller-owned cache survives
+    finally:
+        upd.unpersist()
+
+
+def test_merge_buckets_pure_append_coerces_to_stored_schema(spark,
+                                                            tmp_path):
+    """A tail-append batch with a narrower column type must land in the
+    table's stored types (the old full-rewrite path got this from
+    unionByName)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [("d", 0, 1.0)], "doc_id string, bucket long, v double"))
+    upd = spark.createDataFrame([("d", 100, 2)],
+                                "doc_id string, bucket int, v int")
+    t.merge_buckets(spark, upd, keys=["doc_id", "bucket"])
+    out = t.read(spark)                      # no mergeSchema needed
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    assert {(r.bucket, r.v) for r in out.collect()} == {(0, 1.0),
+                                                        (100, 2.0)}

@@ -126,9 +126,8 @@ def cascade_histogram(tier: DataFrame, step: int = 10) -> DataFrame:
         F.array().cast("array<bigint>"),
         lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
             F.zip_with(acc, x, lambda a, b: a + b)))
-    return (tier.groupBy("doc_id",
-                         (F.col("bucket") / step).cast("long")
-                         .alias("bucket"))
+    from wotan_spark.spark.distinct import bucket_col
+    return (tier.groupBy("doc_id", bucket_col("bucket", step))
             .agg(F.sum("n").alias("n"),
                  F.sum("n_below").alias("n_below"),
                  F.sum("n_above").alias("n_above"),

@@ -169,18 +169,26 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         # auto-tune to the median interval length — ONE small eager
         # aggregation over the intervals side (documented trade: this
         # call is no longer fully lazy, but it removes the operator's
-        # main footgun of a mis-sized bucket)
-        med = (intervals
+        # main footgun of a mis-sized bucket).  The width is floored at
+        # max_length/4096 so a single huge interval amid short ones can
+        # never explode into an unbounded bucket sequence (the explode
+        # would otherwise have to build a length/median-element array).
+        row = (intervals
                .filter(F.col(end_col) > F.col(start_col))
                .select(F.expr(
                    f"percentile_approx(`{end_col}` - `{start_col}`, 0.5)")
-                   .alias("m"))
-               .first()["m"])
-        if cols_integral:
-            bucket_width = max(1, int(med)) if med is not None else 1
+                   .alias("m"),
+                   F.expr(f"max(`{end_col}` - `{start_col}`)")
+                   .alias("mx"))
+               .first())
+        med, mx = row["m"], row["mx"]
+        if med is None:
+            bucket_width = 1 if cols_integral else 1.0
+        elif cols_integral:
+            bucket_width = max(1, int(med), -(-int(mx) // 4096))
         else:
-            bucket_width = float(med) if med is not None and med > 0 \
-                else 1.0
+            bucket_width = max(float(med), float(mx) / 4096.0) \
+                if med > 0 or mx > 0 else 1.0
     if not bucket_width > 0:
         raise ValueError("bucket_width must be > 0")
     int_mode = cols_integral and isinstance(bucket_width, int)

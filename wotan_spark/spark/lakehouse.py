@@ -311,8 +311,14 @@ class SnapshotTable:
         dirs = self._manifest(self.current_snapshot_id())["files"]
         kept_dirs: list[str] = []
         affected: list[str] = []
+        own_persist = False
         if "bucket" in keys:
-            df = df.persist()
+            # persist only what WE persist: unconditionally unpersisting
+            # would evict a caller-owned cache (Pipeline.merge_changed
+            # persists its fine frame across merges + the cascade)
+            own_persist = not df.is_cached
+            if own_persist:
+                df = df.persist()
             b = df.agg(F.min("bucket"), F.max("bucket")).first()
             bmin, bmax = b[0], b[1]
             for d in dirs:
@@ -335,10 +341,19 @@ class SnapshotTable:
                 remaining = cur.join(df.select(*keys).distinct(), keys,
                                      "left_anti")
                 new_dir = self._write_data(remaining.unionByName(df))
+            elif kept_dirs:
+                # pure tail append: align to the STORED schema (the old
+                # full-rewrite path got this coercion from unionByName;
+                # without it a type-divergent batch would land as-is and
+                # break later reads far from this merge)
+                stored = spark.read.parquet(*kept_dirs).schema
+                new_dir = self._write_data(df.select(
+                    [F.col(f.name).cast(f.dataType).alias(f.name)
+                     for f in stored.fields]))
             else:
                 new_dir = self._write_data(df)
         finally:
-            if "bucket" in keys:
+            if own_persist:
                 df.unpersist()
         return self._commit(kept_dirs + [new_dir], meta,
                             self.current_snapshot_id())
@@ -371,9 +386,27 @@ class SnapshotTable:
         else:
             packed = cur.coalesce(n_files)
         meta.setdefault("compaction", True)
-        if cluster_by is not None:
-            meta.setdefault("clustered_by", cluster_by)
-        return self.overwrite(packed, **meta)
+        if cluster_by is None:
+            return self.overwrite(packed, **meta)
+        meta.setdefault("clustered_by", cluster_by)
+        # commit range-clustered output as ONE DIR PER FILE: manifest
+        # entries are dir-granular, so a single monolithic dir would be
+        # marked affected by ANY overlapping merge_buckets and the whole
+        # table would rewrite — per-file dirs keep merge pruning at
+        # per-range granularity (the point of clustering)
+        import shutil
+        staged = self._write_data(packed)
+        dirs: list[str] = []
+        for fn in sorted(os.listdir(staged)):
+            if not fn.endswith(".parquet"):
+                continue
+            nd = os.path.join(self.root, "data", uuid.uuid4().hex)
+            os.makedirs(nd)
+            os.rename(os.path.join(staged, fn), os.path.join(nd, fn))
+            self._write_file_stats(nd)
+            dirs.append(nd)
+        shutil.rmtree(staged, ignore_errors=True)
+        return self._commit(dirs, meta, self.current_snapshot_id())
 
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
