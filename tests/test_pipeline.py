@@ -384,3 +384,21 @@ def test_merge_buckets_pure_append_coerces_to_stored_schema(spark,
     assert dict(out.dtypes)["bucket"] == "bigint"
     assert {(r.bucket, r.v) for r in out.collect()} == {(0, 1.0),
                                                         (100, 2.0)}
+
+
+def test_merge_buckets_prunes_on_any_key_column(spark, tmp_path):
+    """New-doc batches prune on doc_id range disjointness even when
+    bucket ranges fully overlap — any key column can rule a dir out."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [(f"doc_{i:03d}", b, 1.0) for i in range(10) for b in range(20)],
+        "doc_id string, bucket long, v double"))
+    dirs_before = set(t._manifest(t.current_snapshot_id())["files"])
+    new_docs = spark.createDataFrame(
+        [(f"doc_{i:03d}", b, 2.0) for i in range(10, 13)
+         for b in range(20)],                 # buckets overlap, docs don't
+        "doc_id string, bucket long, v double")
+    t.merge_buckets(spark, new_docs, keys=["doc_id", "bucket"])
+    dirs_after = set(t._manifest(t.current_snapshot_id())["files"])
+    assert dirs_before <= dirs_after          # old dir carried verbatim
+    assert t.read(spark).count() == 260

@@ -296,45 +296,55 @@ class SnapshotTable:
         matching rows of the current snapshot (copy-on-write, like Iceberg
         MERGE).
 
-        File-level copy-on-write: when the key set includes ``bucket``,
-        parent data dirs whose per-file bucket stats cannot overlap the
-        incoming rows' bucket range are carried into the new manifest
-        UNTOUCHED — only overlapping dirs rewrite.  This is exact, not
-        merely conservative: a stored row matching an incoming key has
-        that key's bucket value, so it must live in an overlapping file.
-        With time-ordered ingestion (late data touches recent buckets)
-        and range-clustered compaction, merge cost becomes proportional
-        to the touched tail, not the table — the Iceberg MERGE cost
-        model."""
+        File-level copy-on-write: a parent data dir is carried into the
+        new manifest UNTOUCHED when ANY key column's per-file stats are
+        range-disjoint from the incoming rows' range in EVERY file of
+        the dir — a match requires equality on every key, so one
+        disjoint key column rules the whole dir out.  This is exact,
+        not merely conservative.  It engages for time-tail merges
+        (late data touches recent ``bucket`` ranges), for new-doc
+        batches against ``doc_id``-ordered files, and best after
+        ``compact(cluster_by=...)``, which commits one dir per
+        range-clustered file; merge cost then tracks the touched
+        slice, not the table — the Iceberg MERGE cost model."""
         if self.current_snapshot_id() is None:
             return self.overwrite(df, **meta)
         dirs = self._manifest(self.current_snapshot_id())["files"]
         kept_dirs: list[str] = []
         affected: list[str] = []
-        own_persist = False
-        if "bucket" in keys:
-            # persist only what WE persist: unconditionally unpersisting
-            # would evict a caller-owned cache (Pipeline.merge_changed
-            # persists its fine frame across merges + the cascade)
-            own_persist = not df.is_cached
-            if own_persist:
-                df = df.persist()
-            b = df.agg(F.min("bucket"), F.max("bucket")).first()
-            bmin, bmax = b[0], b[1]
-            for d in dirs:
-                if bmin is None:            # empty incoming batch
-                    kept_dirs.append(d)
+        # persist only what WE persist: unconditionally unpersisting
+        # would evict a caller-owned cache (Pipeline.merge_changed
+        # persists its fine frame across merges + the cascade)
+        own_persist = not df.is_cached
+        if own_persist:
+            df = df.persist()
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+        b = df.agg(*aggs).first()
+        bounds = {k: (b[f"lo_{k}"], b[f"hi_{k}"]) for k in keys}
+        empty_batch = all(lo is None for lo, _ in bounds.values())
+
+        def _prunable(stats: dict) -> bool:
+            for k, (lo, hi) in bounds.items():
+                if lo is None:
                     continue
-                stats = self._load_stats(d)
-                olap = stats is None
-                for s in (stats or {}).values():
-                    c = s.get("columns", {}).get("bucket")
-                    if c is None or not (c[1] < bmin or c[0] > bmax):
-                        olap = True
+                disjoint = True
+                for s in stats.values():
+                    c = s.get("columns", {}).get(k)
+                    if c is None or not (c[1] < lo or c[0] > hi):
+                        disjoint = False
                         break
-                (affected if olap else kept_dirs).append(d)
-        else:
-            affected = list(dirs)
+                if disjoint:
+                    return True
+            return False
+
+        for d in dirs:
+            stats = None if empty_batch else self._load_stats(d)
+            if empty_batch or (stats is not None and _prunable(stats)):
+                kept_dirs.append(d)
+            else:
+                affected.append(d)
         try:
             if affected:
                 cur = spark.read.parquet(*affected)
