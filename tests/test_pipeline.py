@@ -402,3 +402,39 @@ def test_merge_buckets_prunes_on_any_key_column(spark, tmp_path):
     dirs_after = set(t._manifest(t.current_snapshot_id())["files"])
     assert dirs_before <= dirs_after          # old dir carried verbatim
     assert t.read(spark).count() == 260
+
+
+def test_merge_buckets_timestamp_key_never_crashes(spark, tmp_path):
+    """Date/timestamp key stats round-trip through JSON as strings —
+    incomparable with native bounds.  The merge must degrade to
+    no-pruning, never crash."""
+    import datetime
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [("d", datetime.datetime(2024, 1, 1), 1.0)],
+        "doc_id string, ts timestamp, v double"))
+    upd = spark.createDataFrame(
+        [("d", datetime.datetime(2025, 6, 1), 2.0)],
+        "doc_id string, ts timestamp, v double")
+    t.merge_buckets(spark, upd, keys=["doc_id", "ts"])
+    assert t.read(spark).count() == 2
+
+
+def test_merge_buckets_schema_divergence_takes_full_rewrite(spark,
+                                                            tmp_path):
+    """A batch whose types differ from the stored schema must take the
+    full unionByName path (one resolved schema for the whole table),
+    never land pruned/partial with divergent files."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [("d", 0, 1.0)], "doc_id string, bucket long, v double"))
+    dirs_before = set(t._manifest(t.current_snapshot_id())["files"])
+    upd = spark.createDataFrame([("d", 10**10, 2)],
+                                "doc_id string, bucket long, v int")
+    t.merge_buckets(spark, upd, keys=["doc_id", "bucket"])
+    dirs_after = set(t._manifest(t.current_snapshot_id())["files"])
+    assert not (dirs_before & dirs_after)    # full rewrite, no carry-over
+    out = t.read(spark)
+    assert dict(out.dtypes)["v"] == "double"  # unionByName resolution
+    assert {(r.bucket, r.v) for r in out.collect()} == {(0, 1.0),
+                                                        (10**10, 2.0)}

@@ -310,6 +310,13 @@ class SnapshotTable:
         if self.current_snapshot_id() is None:
             return self.overwrite(df, **meta)
         dirs = self._manifest(self.current_snapshot_id())["files"]
+        # pruning keeps old files verbatim, which is only sound when the
+        # batch schema MATCHES the stored one (same names + types): a
+        # divergent batch must take the full unionByName rewrite so the
+        # whole table lands on one resolved schema, exactly as before
+        stored = spark.read.parquet(dirs[0]).schema if dirs else df.schema
+        same_schema = ({(f.name, f.dataType) for f in stored.fields}
+                       == {(f.name, f.dataType) for f in df.schema.fields})
         kept_dirs: list[str] = []
         affected: list[str] = []
         # persist only what WE persist: unconditionally unpersisting
@@ -318,50 +325,58 @@ class SnapshotTable:
         own_persist = not df.is_cached
         if own_persist:
             df = df.persist()
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
-        b = df.agg(*aggs).first()
-        bounds = {k: (b[f"lo_{k}"], b[f"hi_{k}"]) for k in keys}
-        empty_batch = all(lo is None for lo, _ in bounds.values())
-
-        def _prunable(stats: dict) -> bool:
-            for k, (lo, hi) in bounds.items():
-                if lo is None:
-                    continue
-                disjoint = True
-                for s in stats.values():
-                    c = s.get("columns", {}).get(k)
-                    if c is None or not (c[1] < lo or c[0] > hi):
-                        disjoint = False
-                        break
-                if disjoint:
-                    return True
-            return False
-
-        for d in dirs:
-            stats = None if empty_batch else self._load_stats(d)
-            if empty_batch or (stats is not None and _prunable(stats)):
-                kept_dirs.append(d)
-            else:
-                affected.append(d)
         try:
+            if same_schema:
+                aggs = []
+                for k in keys:
+                    aggs += [F.min(k).alias(f"lo_{k}"),
+                             F.max(k).alias(f"hi_{k}")]
+                b = df.agg(*aggs).first()
+                bounds = {k: (b[f"lo_{k}"], b[f"hi_{k}"]) for k in keys}
+                empty_batch = all(lo is None for lo, _ in bounds.values())
+
+                def _disjoint(c, lo, hi) -> bool:
+                    try:
+                        return c[1] < lo or c[0] > hi
+                    except TypeError:
+                        # stats round-trip through JSON as strings for
+                        # date/decimal/... types: incomparable with the
+                        # native bound -> cannot PROVE disjoint
+                        return False
+
+                def _prunable(stats: dict) -> bool:
+                    for k, (lo, hi) in bounds.items():
+                        if lo is None:
+                            continue
+                        disjoint = True
+                        for s in stats.values():
+                            c = s.get("columns", {}).get(k)
+                            if c is None or not _disjoint(c, lo, hi):
+                                disjoint = False
+                                break
+                        if disjoint:
+                            return True
+                    return False
+
+                for d in dirs:
+                    stats = None if empty_batch else self._load_stats(d)
+                    if empty_batch or (stats is not None
+                                       and _prunable(stats)):
+                        kept_dirs.append(d)
+                    else:
+                        affected.append(d)
+            else:
+                affected = list(dirs)
             if affected:
                 cur = spark.read.parquet(*affected)
                 remaining = cur.join(df.select(*keys).distinct(), keys,
                                      "left_anti")
                 new_dir = self._write_data(remaining.unionByName(df))
-            elif kept_dirs:
-                # pure tail append: align to the STORED schema (the old
-                # full-rewrite path got this coercion from unionByName;
-                # without it a type-divergent batch would land as-is and
-                # break later reads far from this merge)
-                stored = spark.read.parquet(*kept_dirs).schema
-                new_dir = self._write_data(df.select(
-                    [F.col(f.name).cast(f.dataType).alias(f.name)
-                     for f in stored.fields]))
             else:
-                new_dir = self._write_data(df)
+                # schemas match exactly (pruning precondition), so the
+                # append only needs the stored column ORDER
+                new_dir = self._write_data(
+                    df.select([f.name for f in stored.fields]))
         finally:
             if own_persist:
                 df.unpersist()
@@ -405,7 +420,10 @@ class SnapshotTable:
         # table would rewrite — per-file dirs keep merge pruning at
         # per-range granularity (the point of clustering)
         import shutil
-        staged = self._write_data(packed)
+        # raw write — no staging stats: they would be discarded when the
+        # files move to their per-file dirs (which compute their own)
+        staged = os.path.join(self.root, "data", uuid.uuid4().hex)
+        packed.write.mode("overwrite").parquet(staged)
         dirs: list[str] = []
         for fn in sorted(os.listdir(staged)):
             if not fn.endswith(".parquet"):
@@ -515,7 +533,9 @@ class SnapshotTable:
         try:
             with open(os.path.join(d, "_file_stats.json")) as f:
                 return json.load(f)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # absent OR corrupt stats -> no pruning for this dir,
+            # never a crash (ValueError covers JSONDecodeError)
             return None
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
