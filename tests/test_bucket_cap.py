@@ -1,0 +1,109 @@
+"""Bounded bucket pair expansion (``_capped_pairs``): exact output parity
+with the uncapped path, degenerate-bucket completion without unbounded
+array rows, the ``max_bucket`` drop policy, and the audit helper.
+
+This is the round-4 scale-hazard fix: a plain groupBy+collect_list bucket
+expansion puts every member of one LSH band / inverted-index bucket into a
+single aggregation buffer and one O(m^2) pair array — a boilerplate bucket
+at 10^12-doc scale is one multi-million-element array in one task.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from wotan_spark.spark.datapipe import (_block_arrays, _capped_pairs,
+                                        _counted_members, bucket_size_stats,
+                                        minhash_lsh_pairs,
+                                        ngram_jaccard_pairs,
+                                        ngram_jaccard_pairs_prefix)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_capped_pairs_exact_parity_all_ops(spark):
+    """A tiny cap forces the blocked path everywhere; output must be
+    identical to the effectively-uncapped run for all three public ops."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cases = [
+        (minhash_lsh_pairs, {}),
+        (ngram_jaccard_pairs, {"threshold": 0.4}),
+        (ngram_jaccard_pairs_prefix, {"threshold": 0.4}),
+    ]
+    for fn, kw in cases:
+        uncapped = {tuple(r) for r in
+                    fn(docs, bucket_cap=10 ** 9, **kw).collect()}
+        capped = {tuple(r) for r in fn(docs, bucket_cap=3, **kw).collect()}
+        assert uncapped, f"{fn.__name__}: fixture should produce pairs"
+        assert capped == uncapped, fn.__name__
+
+
+def test_capped_pairs_complete_and_ordered(spark):
+    """One 1000-member bucket with cap=64: all C(1000,2) pairs, each
+    exactly once, a < b throughout."""
+    ex = spark.createDataFrame([("k", i) for i in range(1000)],
+                               "key string, m int")
+    p = _capped_pairs(ex, ["key"], "m", cap=64)
+    n = p.count()
+    assert n == 1000 * 999 // 2
+    assert p.select("p.a", "p.b").distinct().count() == n
+    assert p.filter(F.col("p.a") >= F.col("p.b")).count() == 0
+
+
+def test_block_arrays_bounded_by_cap(spark):
+    """The blocked stage never materializes an array over ``cap`` distinct
+    members — the property that bounds per-task memory.  Duplicate members
+    (hash-collision stand-ins) collapse inside one block instead of
+    straddling blocks (dense_rank ties), so pair output stays deduped."""
+    rows = [("hot", i) for i in range(1000)] + [("hot", 7)] * 5 \
+        + [("cold", i) for i in range(10)]
+    ex = spark.createDataFrame(rows, "key string, m int")
+    base = _counted_members(ex, ["key"], "m", max_bucket=None)
+    blocked = _block_arrays(base, ["key"], cap=64)
+    sizes = blocked.select(F.size("ms").alias("s"))
+    assert sizes.agg(F.max("s")).collect()[0][0] <= 64
+    # only the hot bucket is blocked; every distinct member exactly once
+    assert blocked.filter(F.col("key") == "cold").count() == 0
+    total = blocked.agg(F.sum(F.size("ms"))).collect()[0][0]
+    assert total == 1000
+    # and the full expansion still emits each pair once despite the dups
+    p = _capped_pairs(ex, ["key"], "m", cap=64)
+    hot = p.filter(F.col("key") == "hot")
+    assert hot.count() == 1000 * 999 // 2
+    assert hot.select("p.a", "p.b").distinct().count() == 1000 * 999 // 2
+
+
+def test_minhash_degenerate_band_bucket_completes(spark):
+    """The verdict's done-criterion: a degenerate band bucket (identical
+    docs -> identical signatures -> one bucket per band) completes via the
+    blocked path and yields the exact pair set."""
+    n_docs = 1000
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(n_docs)], "doc_id long, text string")
+    out = minhash_lsh_pairs(docs, bucket_cap=64)
+    rows = out.collect()
+    assert len(rows) == n_docs * (n_docs - 1) // 2
+    # identical docs share all four bands
+    assert all(r.n_bands == 4 for r in rows)
+
+
+def test_minhash_max_bucket_drops_degenerate(spark):
+    """Drop policy: a 10k-member degenerate bucket is excluded outright
+    (its O(m^2) pairs carry no curation signal — exact dedup owns identical
+    boilerplate), while normal near-dup buckets still pair."""
+    boiler = [(i, "spam spam spam spam spam spam") for i in range(10_000)]
+    real = [(20_000, "one two three four five six seven"),
+            (20_001, "one two three four five six seven")]
+    docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    out = minhash_lsh_pairs(docs, bucket_cap=64, max_bucket=100).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert pairs == {(20_000, 20_001)}
+
+
+def test_bucket_size_stats_audit(spark):
+    ex = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", 0), ("b", 1)],
+        "key string, m int")
+    stats = bucket_size_stats(ex, ["key"]).collect()
+    assert [(r.key, r.n_members) for r in stats] == [("a", 5), ("b", 2)]

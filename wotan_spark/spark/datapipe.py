@@ -131,8 +131,113 @@ def _bucket_pairs(members: F.Column) -> F.Column:
             lambda y: F.struct(x.alias("a"), y.alias("b")))))
 
 
+DEFAULT_BUCKET_CAP = 256
+
+
+def _capped_pairs(exploded: DataFrame, keys: list[str], member,
+                  cap: int = DEFAULT_BUCKET_CAP,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Bucket pair expansion with BOUNDED per-task memory: all i<j member
+    pairs per key bucket as ``(*keys, p: struct<a, b>)`` rows, ``p.a < p.b``.
+
+    A plain ``groupBy(keys).agg(collect_list)`` puts every member of one
+    bucket into a single aggregation buffer and then materializes the full
+    O(m^2) pair array in one projection row — a degenerate bucket
+    (boilerplate docs sharing one band hash) at corpus scale is one
+    multi-million-element array in one task.  Here a window counts each
+    bucket once (the same exchange the groupBy needed anyway); buckets at
+    or under ``cap`` members take exactly the old single-aggregation path
+    (no extra shuffle — the post-window partitioning already satisfies the
+    groupBy), and oversized buckets are split into ordered blocks of at
+    most ``cap`` members.  Block pairs come from two bounded shapes: i<j
+    combinations INSIDE each block array, and a block-level self-join for
+    CROSS-block pairs whose row payloads are two <=cap arrays (at most
+    cap^2 pair structs per joined row).  Blocks are ranges of the global
+    member order (``dense_rank``), so every member of block p sorts before
+    every member of block q>p — cross pairs satisfy a < b by construction
+    and duplicates from hash collisions collapse inside one block's
+    ``array_distinct`` instead of straddling blocks.  Output is identical
+    to the uncapped expansion (tested); only the task-memory shape changes.
+
+    ``max_bucket`` (optional) is the hard drop policy: buckets with more
+    members than this are excluded entirely — at 10^12 docs a bucket of
+    millions of identical-boilerplate members encodes no useful pair
+    signal but O(m^2) pairs; drop it and let exact dedup catch the
+    boilerplate.  Audit dropped buckets with ``bucket_size_stats`` before
+    enabling.  Default None = exact, nothing dropped.
+    """
+    from pyspark import StorageLevel
+    base = _counted_members(exploded, keys, member, max_bucket)
+    small = (base.filter(F.col("__cnt") <= cap)
+             .groupBy(*keys)
+             .agg(F.array_distinct(F.collect_list("__m")).alias("ms"))
+             .filter(F.size("ms") > 1)
+             .select(*keys, F.explode(_bucket_pairs(F.col("ms"))).alias("p")))
+    blocked = _block_arrays(base, keys, cap)
+    # two consumers (within + both self-join sides): persist so the bucket
+    # index is built once; recomputable lineage (vs localCheckpoint) keeps
+    # executor loss survivable at scale.  Empty in the common no-hot-bucket
+    # case, so the persist costs nothing then.
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    within = blocked.select(
+        *keys, F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
+    left = blocked.select(*keys, F.col("__blk").alias("__ba"),
+                          F.col("ms").alias("__msa"))
+    right = blocked.select(*keys, F.col("__blk").alias("__bb"),
+                           F.col("ms").alias("__msb"))
+    cross_expr = F.flatten(F.transform(
+        F.col("__msa"), lambda x: F.transform(
+            F.col("__msb"),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    cross = (left.join(right, keys)
+             .filter(F.col("__ba") < F.col("__bb"))
+             .select(*keys, F.explode(cross_expr).alias("p")))
+    return small.unionByName(within).unionByName(cross)
+
+
+def _counted_members(exploded: DataFrame, keys: list[str], member,
+                     max_bucket: int | None) -> DataFrame:
+    """(keys..., __m, __cnt) — bucket members stamped with their bucket's
+    size via one count window (the same exchange the pair groupBy needs
+    anyway), with the ``max_bucket`` drop policy applied."""
+    mcol = member if isinstance(member, F.Column) else F.col(member)
+    base = (exploded.select(*keys, mcol.alias("__m"))
+            .withColumn("__cnt",
+                        F.count("*").over(Window.partitionBy(*keys))))
+    if max_bucket is not None:
+        base = base.filter(F.col("__cnt") <= max_bucket)
+    return base
+
+
+def _block_arrays(base: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Oversized buckets split into sorted member blocks of <=``cap``
+    DISTINCT members: ``dense_rank`` over the member order (ties = hash-
+    collision duplicates stay in one block and collapse in its
+    ``array_distinct``), block = rank div cap.  The rank window shares the
+    count window's exchange; only oversized-bucket rows (rare) pay its
+    sort."""
+    w = Window.partitionBy(*keys).orderBy("__m")
+    blk = ((F.dense_rank().over(w) - 1) / cap).cast("int")
+    return (base.filter(F.col("__cnt") > cap)
+            .withColumn("__blk", blk)
+            .groupBy(*keys, "__blk")
+            .agg(F.array_sort(F.array_distinct(F.collect_list("__m")))
+                 .alias("ms")))
+
+
+def bucket_size_stats(exploded: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-bucket membership audit for the inverted-index / LSH ops: one
+    row per key bucket with its member count, largest first.  Run this
+    (or aggregate it further) before enabling a ``max_bucket`` drop policy
+    so the drop threshold is chosen from measured skew, not guessed."""
+    return (exploded.groupBy(*keys).agg(F.count("*").alias("n_members"))
+            .orderBy(F.col("n_members").desc()))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP,
+                        max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs by exact n-gram Jaccard similarity:
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
 
@@ -143,7 +248,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     shuffle aggregates intersection counts per pair.  Join keys are 64-bit
     xxhash64 longs over the sliced word arrays (``_gram_hashes``), never
     shingle strings: ~3x smaller shuffle rows and no per-gram string
-    materialization on the scan.
+    materialization on the scan.  Bucket membership is bounded per task
+    (``_capped_pairs``): buckets over ``bucket_cap`` members split into
+    blocks, and ``max_bucket`` optionally drops degenerate stopword-gram
+    buckets entirely (audit with ``bucket_size_stats`` first).
     """
     # two-step select: materialize the gram array once, THEN size+explode it
     # — referencing the transform expression from both size() and explode()
@@ -153,14 +261,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
           .select("doc_id", F.size("gr").alias("n_sh"),
                   F.explode("gr").alias("hv"))
           .select("hv", F.struct("doc_id", "n_sh").alias("m")))
-    # array_distinct: a cross-shingle 64-bit hash collision would put the
-    # same doc twice in one bucket and emit a self-pair / inflate the
-    # intersection count — dedupe members so a rare collision degrades
-    # gracefully (negligible probability, nonzero at 10^12-doc scale)
-    pairs = (sh.groupBy("hv")
-             .agg(F.array_distinct(F.collect_list("m")).alias("ms"))
-             .filter(F.size("ms") > 1)
-             .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
+    # _capped_pairs dedupes bucket members (array_distinct): a cross-
+    # shingle 64-bit hash collision would otherwise put the same doc twice
+    # in one bucket and emit a self-pair / inflate the intersection count —
+    # negligible probability, nonzero at 10^12-doc scale
+    pairs = (_capped_pairs(sh, ["hv"], "m",
+                           cap=bucket_cap, max_bucket=max_bucket)
              .select(F.col("p.a.doc_id").alias("doc_a"),
                      F.col("p.b.doc_id").alias("doc_b"),
                      F.col("p.a.n_sh").alias("n_a"),
@@ -175,7 +281,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 
 def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
-                               threshold: float = 0.5) -> DataFrame:
+                               threshold: float = 0.5,
+                               bucket_cap: int = DEFAULT_BUCKET_CAP,
+                               max_bucket: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style) —
     the exact-preserving at-scale variant of ngram_jaccard_pairs.
 
@@ -230,10 +338,8 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
                       F.posexplode(F.slice("hvs", 1, p_len))
                       .alias("pos", "hv")))
     member = F.struct("doc_id", "n_sh", "pos")
-    pairs = (prefix.groupBy("hv")
-             .agg(F.array_distinct(F.collect_list(member)).alias("ms"))
-             .filter(F.size("ms") > 1)
-             .select(F.explode(_bucket_pairs(F.col("ms"))).alias("p")))
+    pairs = _capped_pairs(prefix, ["hv"], member,
+                          cap=bucket_cap, max_bucket=max_bucket)
     na, nb = F.col("p.a.n_sh"), F.col("p.b.n_sh")
     alpha = F.ceil((F.lit(threshold) / (1.0 + threshold)) * (na + nb) - 1e-9)
     ubound = 1 + F.least(na - F.col("p.a.pos"), nb - F.col("p.b.pos"))
@@ -341,10 +447,18 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
-                      band_size: int = 2) -> DataFrame:
+                      band_size: int = 2,
+                      bucket_cap: int = DEFAULT_BUCKET_CAP,
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
     (doc_a, doc_b, n_bands) — the scale path for near-dup detection: the
-    only wide shuffle is on (band_id, band_hash) buckets."""
+    only wide shuffle is on (band_id, band_hash) buckets.  Bucket
+    membership is bounded per task (``_capped_pairs``): a degenerate band
+    bucket (boilerplate/empty docs with identical band hashes) splits into
+    <=``bucket_cap``-member blocks instead of one unbounded array row, and
+    ``max_bucket`` optionally drops such buckets outright (they encode no
+    pair signal a 10^12-doc pipeline wants — exact dedup catches identical
+    boilerplate at a fraction of the O(m^2) pair cost)."""
     sig = minhash_signatures(docs, n)
     n_bands = len(MINHASH_COEFFS) // band_size
     # one explode instead of a union of n_bands selects: the signature
@@ -362,11 +476,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     # bucket-and-expand instead of a self-join: the self-join would run the
     # whole signature computation twice (no exchange reuse after the
     # right side is de-aliased); this shape shuffles it once.
-    pairs = (all_bands.groupBy("band_id", "band_hash")
-             .agg(F.collect_list("doc_id").alias("ids"))
-             .filter(F.size("ids") > 1)
-             .select("band_id",
-                     F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+    pairs = (_capped_pairs(all_bands, ["band_id", "band_hash"], "doc_id",
+                           cap=bucket_cap, max_bucket=max_bucket)
              .groupBy(F.col("p.a").alias("doc_a"),
                       F.col("p.b").alias("doc_b"))
              .agg(F.countDistinct("band_id").alias("n_bands")))
@@ -628,10 +739,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.3,
         # per plane at cos=0.3 is ~0.6, so favor few planes x many tables
         # (4x8 -> ~0.66 recall at the threshold, higher above it)
         buckets = lsh_buckets(emb, n_planes=4, n_tables=8)
-        cand = (buckets.groupBy("table_id", "bucket")
-                .agg(F.collect_list("vec_id").alias("ids"))
-                .filter(F.size("ids") > 1)
-                .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        cand = (_capped_pairs(buckets, ["table_id", "bucket"], "vec_id")
                 .select(F.col("p.a").alias("vec_id_a"),
                         F.col("p.b").alias("vec_id_b"))
                 .distinct())
