@@ -788,6 +788,25 @@ PINNED_DETREND = {
                                   "kernel_size": 256.0},
                        "max_tokens": 1024, "n_docs": 12,
                        "decimals": 3},
+    # matern's length scale is internally x1000 (reference wotan/gp.py:31-33)
+    # so 0.25 -> an effective 250-token scale, comparable to squared_exp's
+    # 256 and well-conditioned on the 1024-token index grid
+    "gp_matern": {"method": "gp",
+                  "params": {"kernel": "matern", "kernel_size": 0.25},
+                  "max_tokens": 1024, "n_docs": 12, "decimals": 3},
+    # 2 decimals: at 3 this family's pin landed 3.9e-5 from a rounding
+    # boundary (vs ~1e-5 BLAS jitter) — one decimal coarser buys a 10x
+    # boundary margin for the ill-conditioned ExpSineSquared+RBF solve
+    "gp_periodic": {"method": "gp",
+                    "params": {"kernel": "periodic", "kernel_size": 256.0,
+                               "kernel_period": 128.0},
+                    "max_tokens": 1024, "n_docs": 12, "decimals": 2},
+    # periodic_auto pre-searches the dominant period by Lomb-Scargle
+    # (reference wotan/gp.py:82-88)
+    "gp_periodic_auto": {"method": "gp",
+                         "params": {"kernel": "periodic_auto",
+                                    "kernel_size": 256.0},
+                         "max_tokens": 1024, "n_docs": 12, "decimals": 3},
 }
 
 
@@ -1152,21 +1171,23 @@ DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- primary block, positions 1-50 (driver-evaluated) -----------
-        # all 27 estimators of constants.METHODS (one query each)
+        # Round-4 rotation (VERDICT r03 item 2): welsch/tau/ramsay/
+        # winsorize — each driver-green in rounds 1, 2 AND 3 — moved to the
+        # secondary block to make room for the four reference code paths
+        # that had never had a driver row: the GP matern / periodic /
+        # periodic_auto kernels (wotan/gp.py:30-106) and cosine's robust
+        # sigma-clip mode (wotan/cofiam.py:42-52).  ROTATED_OUT_R4 in
+        # tests/test_oracle_parity.py pins this policy.
         "detrend_mean_packed": _wrap(q_detrend_mean_packed),
         "detrend_median_packed": _wrap(q_detrend_median_packed),
         "detrend_biweight_packed": _wrap(q_detrend_biweight_packed),
         "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
-        "detrend_welsch_packed": _wrap(q_detrend_welsch_packed),
         "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
         "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
-        "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
         "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
-        "detrend_tau_packed": _wrap(q_detrend_tau_packed),
         "detrend_huber_packed": _wrap(q_detrend_huber_packed),
         "detrend_hampel_packed": _wrap(q_detrend_hampel_packed),
-        "detrend_ramsay_packed": _wrap(q_detrend_ramsay_packed),
         "detrend_medfilt_packed": _wrap(q_detrend_medfilt_packed),
         "detrend_savgol_pinned": _wrap(_pinned_detrend_query("savgol")),
         "detrend_rspline_packed": _wrap(q_detrend_rspline_packed),
@@ -1183,6 +1204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detrend_cosine_pinned": _wrap(_pinned_detrend_query("cosine")),
         "detrend_gp_squared_exp_pinned":
             _wrap(_pinned_detrend_query("gp_squared_exp")),
+        "detrend_gp_matern_pinned":
+            _wrap(_pinned_detrend_query("gp_matern")),
+        "detrend_gp_periodic_pinned":
+            _wrap(_pinned_detrend_query("gp_periodic")),
+        "detrend_gp_periodic_auto_pinned":
+            _wrap(_pinned_detrend_query("gp_periodic_auto")),
+        "detrend_cosine_robust_pinned":
+            _wrap(_pinned_detrend_query("cosine_robust")),
         # public API operators (flatten/cleaned_array are exercised by every
         # detrend query above) + the known-signal mask feature
         "slide_clip_packed": _wrap(q_slide_clip_packed),
@@ -1212,9 +1241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _wrap(q_cosine_topk),
         "decontaminate": _wrap(q_decontaminate),
         # --- secondary block, positions 51+ (local-oracle-verified; the
-        # driver verified each of these in round 1 or 2) ------------------
-        "detrend_cosine_robust_pinned":
-            _wrap(_pinned_detrend_query("cosine_robust")),
+        # driver verified each of these in an earlier round) --------------
+        "detrend_welsch_packed": _wrap(q_detrend_welsch_packed),
+        "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
+        "detrend_tau_packed": _wrap(q_detrend_tau_packed),
+        "detrend_ramsay_packed": _wrap(q_detrend_ramsay_packed),
         "detrend_masked_mean_packed": _wrap(q_detrend_masked_mean_packed),
         "sigma_clip_count": _wrap(q_sigma_clip_count),
         "mean_slider_range": _wrap(q_mean_slider_range),
