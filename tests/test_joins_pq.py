@@ -35,6 +35,30 @@ def test_asof_join_backward_with_ties(spark):
                    ("c", 3, 30.0): None}
 
 
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    """Internal plumbing names (__t/__is_left/__m/__b/__f) and suffixed
+    payload collisions with left columns must raise upfront instead of
+    silently producing wrong joins / duplicate output columns (ADVICE
+    r03; same contract as interval_join's '__bk' check)."""
+    import pytest
+    left, right = _frames(spark)
+    for bad in ("__t", "__is_left", "__m", "__b", "__f"):
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(left.withColumn(bad, F.lit(1)), right,
+                      on="k", left_time="t", right_time="rt")
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(left, right.withColumn(bad, F.lit(1)),
+                      on="k", left_time="t", right_time="rt")
+    # right payload 'p' suffixed '_asof' collides with a left column
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("p_asof", F.lit(0.0)), right,
+                  on="k", left_time="t", right_time="rt")
+    # and the documented '__rt' payload reservation still holds
+    with pytest.raises(ValueError, match="__rt"):
+        asof_join(left, right.withColumn("__rt", F.lit(1)),
+                  on="k", left_time="t", right_time="rt")
+
+
 def test_asof_join_tolerance_nulls_stale_matches(spark):
     left, right = _frames(spark)
     out = {(r.k, r.t, r.v): r.p_asof

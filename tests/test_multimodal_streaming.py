@@ -347,6 +347,19 @@ def test_streaming_enrichment_tracks_latest_tier_snapshot(spark, tmp_path):
     sids = [m["meta"].get("tier_snapshot") for m in out.snapshots()]
     assert sids == [sid1, sid2]
 
+    # at-least-once replay (ADVICE r03): a crash between the append and the
+    # streaming checkpoint commit replays the batch on restart — simulate
+    # with a wiped checkpoint (batch ids restart at 0, availableNow re-reads
+    # every landing file).  The batch-id guard must skip the already-
+    # committed batch: no duplicate rows, no new snapshots.
+    import shutil
+    shutil.rmtree(ckpt)
+    run_enrichment(spark, landing, tier_root, out_root, ckpt,
+                   bucket_width=10, tolerance_buckets=3)
+    replay = {(r.doc_id, r.t): r.y_mean_asof for r in out.read(spark).collect()}
+    assert replay == got2, "replayed batch duplicated enrichment rows"
+    assert len(out.snapshots()) == 2
+
 
 def test_streaming_pipeline_ingestion_maintains_all_tiers(spark, tmp_path):
     """run_pipeline_ingestion drains landing files through the full

@@ -420,6 +420,33 @@ def test_merge_buckets_timestamp_key_never_crashes(spark, tmp_path):
     assert t.read(spark).count() == 2
 
 
+def test_merge_buckets_mixed_schema_dirs_keep_evolved_columns(spark,
+                                                              tmp_path):
+    """append() supports schema evolution, so a snapshot can hold
+    mixed-schema dirs.  A merge over such a snapshot must take the
+    mergeSchema + unionByName rewrite — the evolved column survives
+    (null-filled where absent) instead of being silently dropped by a
+    dirs[0]-only schema read (ADVICE r03)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame(
+        [("d", 0, 1.0)], "doc_id string, bucket long, v double"))
+    # evolved append: extra column q only in the second dir
+    t.append(spark.createDataFrame(
+        [("d", 1, 2.0, 9.0)],
+        "doc_id string, bucket long, v double, q double"))
+    upd = spark.createDataFrame([("d", 0, 10.0)],
+                                "doc_id string, bucket long, v double")
+    t.merge_buckets(spark, upd, keys=["doc_id", "bucket"])
+    out = t.read(spark)                       # no mergeSchema needed
+    assert "q" in out.columns, "evolved column dropped by merge"
+    got = {(r.bucket, r.v, r.q) for r in out.collect()}
+    assert got == {(0, 10.0, None), (1, 2.0, 9.0)}
+    # the rewrite converged the table onto ONE schema: pruning works again
+    fps = {t._dir_schema(d)
+           for d in t._manifest(t.current_snapshot_id())["files"]}
+    assert len(fps) == 1
+
+
 def test_merge_buckets_schema_divergence_takes_full_rewrite(spark,
                                                             tmp_path):
     """A batch whose types differ from the stored schema must take the

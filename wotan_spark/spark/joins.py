@@ -54,6 +54,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys + [right_time]]
     carry = [c for c in left.columns if c not in keys + [left_time]]
+    # fail upfront on names that would silently corrupt the union-sort
+    # plumbing or emit ambiguous duplicate output columns (same contract
+    # as interval_join's '__bk' check)
+    reserved = {"__t", "__is_left", "__m", "__b", "__f"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"column names {sorted(clash)} are reserved "
+                         "by asof_join")
+    out_names = set(keys) | {left_time} | set(carry)
+    dup = [c for c in payload if f"{c}{suffix}" in out_names]
+    if dup:
+        raise ValueError(
+            f"suffixed payload column(s) {[f'{c}{suffix}' for c in dup]} "
+            "collide with left columns; pass a different suffix")
 
     # the match is filled as ONE struct (timestamp + all payload columns),
     # not column-by-column: independent last/first(ignoreNulls) fills

@@ -14,6 +14,18 @@ catalog could replace 1:1:
 * snapshots are immutable -> time travel (``read(snapshot_id=...)``) and
   checkpoint/resume (a pipeline stage is "done" iff a snapshot with its
   config fingerprint exists).
+
+Concurrency model: ONE writer per table at a time (the Hadoop-catalog
+Iceberg assumption; a real catalog's atomic compare-and-swap replaces it).
+Within that model every publish is crash-safe: manifests are created with
+O_EXCL (a duplicate snapshot id aborts instead of clobbering) and HEAD /
+refs are atomic renames, so concurrent READERS always see a complete
+snapshot.  What the file protocol cannot give two concurrent WRITERS is
+serialization — the refs read-modify-write can lose one branch move, and
+``expire_snapshots`` running concurrently with ``commit_to_branch`` could
+reclaim the new snapshot in the window before its branch ref lands.  Run
+maintenance (expiry, compaction) from the single writer's schedule, never
+alongside another writer.
 """
 
 from __future__ import annotations
@@ -228,11 +240,20 @@ class SnapshotTable:
             "committed_at": time.time(),
             "meta": meta,
         }
+        # tmp + link(2): atomic for readers (the manifest appears complete
+        # or not at all) AND exclusive for writers — if another writer
+        # raced _next_sid to the same id, link fails loudly instead of
+        # silently clobbering its manifest (the single-writer contract
+        # should make this unreachable; this backstop turns a contract
+        # violation into an error)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.manifest_dir,
-                                    f"snapshot-{sid}.json"))
+        try:
+            os.link(tmp, os.path.join(self.manifest_dir,
+                                      f"snapshot-{sid}.json"))
+        finally:
+            os.unlink(tmp)
         if move_head:
             tmp_head = os.path.join(self.manifest_dir,
                                     f".tmp-head-{uuid.uuid4().hex}")
@@ -279,6 +300,34 @@ class SnapshotTable:
             stats[fn] = {"rows": meta.num_rows, "columns": cols}
         with open(os.path.join(d, "_file_stats.json"), "w") as f:
             json.dump(stats, f, default=str)
+        # schema fingerprint for merge_buckets' mixed-dir detection: all
+        # files in one dir come from one write job, so one footer speaks
+        # for the dir
+        first = next((fn for fn in sorted(os.listdir(d))
+                      if fn.endswith(".parquet")), None)
+        if first is not None:
+            sch = pq.read_schema(os.path.join(d, first))
+            with open(os.path.join(d, "_schema.json"), "w") as f:
+                json.dump([[fld.name, str(fld.type)] for fld in sch], f)
+
+    def _dir_schema(self, d: str) -> tuple | None:
+        """Schema fingerprint of one data dir: the ``_schema.json`` stamped
+        at write time, or one parquet footer for dirs written before
+        stamping.  ``None`` = undeterminable — merge_buckets treats that as
+        schema-mixed (conservative full rewrite)."""
+        try:
+            with open(os.path.join(d, "_schema.json")) as f:
+                return tuple(tuple(x) for x in json.load(f))
+        except (FileNotFoundError, ValueError):
+            pass
+        try:
+            import pyarrow.parquet as pq
+            fn = next(f for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet"))
+            return tuple((fld.name, str(fld.type))
+                         for fld in pq.read_schema(os.path.join(d, fn)))
+        except (OSError, StopIteration):
+            return None
 
     def append(self, df: DataFrame, **meta) -> int:
         d = self._write_data(df)
@@ -311,11 +360,21 @@ class SnapshotTable:
             return self.overwrite(df, **meta)
         dirs = self._manifest(self.current_snapshot_id())["files"]
         # pruning keeps old files verbatim, which is only sound when the
-        # batch schema MATCHES the stored one (same names + types): a
-        # divergent batch must take the full unionByName rewrite so the
-        # whole table lands on one resolved schema, exactly as before
+        # batch schema MATCHES the stored one (same names + types) AND the
+        # stored dirs agree among THEMSELVES — append/commit_to_branch
+        # deliberately never schema-check (schema evolution is a supported
+        # lakehouse write), so a snapshot can hold mixed-schema dirs.  Any
+        # disagreement takes the full mergeSchema read + unionByName
+        # rewrite, converging the whole table back onto one resolved
+        # schema (columns missing on one side null-fill, the Iceberg
+        # add-column semantic) instead of silently dropping columns that
+        # only some dirs carry.
+        fps = {d: self._dir_schema(d) for d in dirs}
+        mixed = len(set(fps.values())) > 1 or (
+            bool(dirs) and fps[dirs[0]] is None)
         stored = spark.read.parquet(dirs[0]).schema if dirs else df.schema
-        same_schema = ({(f.name, f.dataType) for f in stored.fields}
+        same_schema = (not mixed
+                       and {(f.name, f.dataType) for f in stored.fields}
                        == {(f.name, f.dataType) for f in df.schema.fields})
         kept_dirs: list[str] = []
         affected: list[str] = []
@@ -368,10 +427,18 @@ class SnapshotTable:
             else:
                 affected = list(dirs)
             if affected:
-                cur = spark.read.parquet(*affected)
+                reader = (spark.read.option("mergeSchema", "true")
+                          if mixed else spark.read)
+                cur = reader.parquet(*affected)
                 remaining = cur.join(df.select(*keys).distinct(), keys,
                                      "left_anti")
-                new_dir = self._write_data(remaining.unionByName(df))
+                # same column set -> exact union (a misnamed batch column
+                # still errors loudly); differing sets are schema
+                # evolution -> null-fill the missing side
+                allow_missing = set(cur.columns) != set(df.columns)
+                new_dir = self._write_data(
+                    remaining.unionByName(df,
+                                          allowMissingColumns=allow_missing))
             else:
                 # schemas match exactly (pruning precondition), so the
                 # append only needs the stored column ORDER

@@ -109,6 +109,13 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
            if tolerance_buckets is not None else None)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between this append and
+        # the streaming checkpoint commit replays the batch on restart, so
+        # skip a batch id the output table has already committed (same
+        # guard discipline as _pipeline_sink's run_id check and
+        # run_ingestion's idempotent merge)
+        if out_table.find_snapshot(stream_batch=batch_id) is not None:
+            return
         # resolve HEAD once and read THAT snapshot: a concurrent ingestion
         # commit between the two calls would otherwise desynchronize the
         # recorded tier_snapshot stamp from the data actually joined
