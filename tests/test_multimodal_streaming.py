@@ -5,6 +5,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from wotan_spark.spark.multimodal import (dedup_media_exact, extract_features,
@@ -56,6 +57,58 @@ def test_unknown_codec_raises(spark):
     from wotan_spark.spark.multimodal import _decode_payload
     with pytest.raises(NotImplementedError):
         _decode_payload("jpeg", b"\xff\xd8")
+
+
+def test_registered_decoder_runs_end_to_end(spark):
+    """ADVICE/verdict r03 item 5: a user-supplied codec registered via
+    register_decoder flows through extract_features and dedup_media_exact
+    on executors, without editing engine code.  The snapshot semantics
+    mean registration must precede plan construction."""
+    import numpy as np
+    from wotan_spark.spark.multimodal import (register_decoder,
+                                              registered_codecs,
+                                              unregister_decoder)
+
+    # nested def: cloudpickle ships it BY VALUE inside the closure snapshot
+    # (a decoder in an importable module ships by reference — either works;
+    # a reference into a module absent on executors would not, as with any
+    # UDF)
+    def _decode_fake_png(payload: bytes):
+        if bytes(payload[:4]) != b"PNG!":
+            raise ValueError("bad magic")
+        return np.frombuffer(payload[4:], dtype=np.uint8)
+
+    raw = synth_media(spark, 8).filter("modality = 'image'")
+    png = raw.select(
+        "media_id", "modality", F.lit("png").alias("codec"),
+        "width", "height", "sample_rate", "n_frames",
+        F.concat(F.lit(b"PNG!"), F.col("payload")).alias("payload"))
+    register_decoder("png", _decode_fake_png)
+    try:
+        assert "png" in registered_codecs()
+        feats = {r.media_id: r for r in extract_features(png).collect()}
+        want = {r.media_id: r for r in extract_features(raw).collect()}
+        assert feats.keys() == want.keys() and feats
+        for mid, r in feats.items():
+            # decoded content identical -> identical feature histograms;
+            # sha1/n_bytes differ (they hash the encoded payload)
+            assert r.features == want[mid].features
+            assert r.n_bytes == want[mid].n_bytes + 4
+        dupes = png.union(png.limit(2))
+        out = dedup_media_exact(dupes).collect()
+        assert len(out) == 2 and all(r.dup_count == 2 for r in out)
+    finally:
+        unregister_decoder("png")
+    assert "png" not in registered_codecs()
+    with pytest.raises(ValueError):
+        unregister_decoder("raw")
+    with pytest.raises(TypeError):
+        register_decoder("bad", 42)
+    # a plan built BEFORE registration must not see a later decoder: the
+    # closure snapshot is the shipping mechanism
+    stale = extract_features(png)
+    with pytest.raises(Exception, match="no decoder registered"):
+        stale.collect()
 
 
 def test_media_dedup_exact(spark):

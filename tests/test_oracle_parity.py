@@ -6,6 +6,7 @@ exact for ints/strings, 1e-9 for floats)."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import numpy as np
@@ -146,7 +147,19 @@ def test_driver_window_covers_every_method_and_category():
         f"rows-only queries: {set(q) - set(o)}"
 
 
-def test_every_oracle_key_has_a_query():
+def test_doc_counts_match_contract():
+    """Every hand-written 'N queries()' count in README.md / COVERAGE.md
+    must equal the live contract size — stale counts shipped twice
+    (round-2 '74', round-3 '81'); now they are derived, not trusted."""
+    import re
+    n = len(entrymod.queries())
+    for doc in ("README.md", "COVERAGE.md"):
+        path = os.path.join(os.path.dirname(entrymod.__file__), doc)
+        with open(path) as f:
+            text = f.read()
+        for m in re.finditer(r"(\d+) `?queries\(\)`?", text):
+            assert int(m.group(1)) == n, \
+                f"{doc} says {m.group(1)} queries(), contract has {n}"
     q = entrymod.queries()
     missing = [k for k in ORACLE_KEYS if k not in q]
     assert not missing, f"oracle keys without queries: {missing}"

@@ -2,10 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` passes.  The actual media decoding is
-STUBBED (``codec='raw'`` only — no image/audio libraries in this container):
-the Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
-real and tested, and a real decoder drops into ``_decode_payload``.
+as Arrow-batched ``mapInPandas`` passes.  Decoding goes through a codec
+REGISTRY (``register_decoder``): only the dependency-free ``raw`` decoder
+ships in this container (no image/audio libraries), and a user plugs real
+codecs in without editing engine code — each operator snapshots the
+registry into its closure, so registered decoders ship to executors with
+the plan.  The Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is real and tested.
 """
 
 from __future__ import annotations
@@ -72,21 +75,59 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42,
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _decode_payload(codec: str, payload: bytes) -> np.ndarray:
-    """Decode a media payload to a flat uint8 sample array.
+def _decode_raw(payload: bytes) -> np.ndarray:
+    return np.frombuffer(payload, dtype=np.uint8)
 
-    Only ``raw`` is implemented in this container; real codecs plug in here.
-    """
+
+# codec name -> callable(payload: bytes) -> flat uint8 sample array.
+# Only ``raw`` ships in this container (no media libraries); real codecs
+# plug in via register_decoder WITHOUT editing engine code.  Every operator
+# snapshots the registry into its mapInPandas closure at plan-build time,
+# which is what ships decoders to executors — so a decoder must be
+# cloudpickle-able (no live handles; functions from a module ship by
+# REFERENCE and that module must be importable on executors, e.g. via
+# --py-files, while nested/interactive functions ship by value), and a
+# driver-side mutation after a plan is built does not retroactively change
+# that query.
+_DECODERS: dict = {"raw": _decode_raw}
+
+
+def register_decoder(codec: str, fn) -> None:
+    """Register a payload decoder for ``codec`` (e.g. a PIL/soundfile
+    wrapper returning a flat uint8 array).  Queries built AFTER
+    registration use it; ``raw`` stays the dependency-free test path."""
+    if not callable(fn):
+        raise TypeError(f"decoder for {codec!r} must be callable")
+    _DECODERS[str(codec)] = fn
+
+
+def unregister_decoder(codec: str) -> None:
     if codec == "raw":
-        return np.frombuffer(payload, dtype=np.uint8)
+        raise ValueError("the built-in 'raw' decoder cannot be removed")
+    _DECODERS.pop(codec, None)
+
+
+def registered_codecs() -> tuple[str, ...]:
+    return tuple(sorted(_DECODERS))
+
+
+def _decode_payload(codec: str, payload: bytes,
+                    decoders: dict | None = None) -> np.ndarray:
+    """Decode a media payload to a flat uint8 sample array using the given
+    registry snapshot (executor side) or the live registry (driver side)."""
+    fn = (_DECODERS if decoders is None else decoders).get(codec)
+    if fn is not None:
+        return fn(payload)
     raise NotImplementedError(
-        f"codec {codec!r}: media decoding libraries are not available in "
-        "this environment — plug a decoder into _decode_payload")
+        f"codec {codec!r}: no decoder registered — media libraries are not "
+        "available in this environment; plug one in via register_decoder")
 
 
 def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
     """Per-item content features (byte histogram as a stand-in embedding)
     via one packed pass: (media_id, modality, n_bytes, sha1, features)."""
+
+    decoders = dict(_DECODERS)   # snapshot: ships to executors via pickle
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,7 +136,7 @@ def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
                     pdf["media_id"], pdf["modality"], pdf["codec"],
                     pdf["payload"]):
                 raw = bytes(payload)
-                arr = _decode_payload(codec, raw)
+                arr = _decode_payload(codec, raw, decoders)
                 hist = np.histogram(arr, bins=n_bins, range=(0, 256))[0]
                 total = max(int(hist.sum()), 1)
                 ids.append(mid)
@@ -115,6 +156,8 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     ``every``-th sample — the downsample-retention idea applied to media
     (real frame extraction plugs into _decode_payload)."""
 
+    decoders = dict(_DECODERS)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
@@ -122,7 +165,7 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             frames = []
             for codec, payload, nf in zip(pdf["codec"], pdf["payload"],
                                           pdf["n_frames"]):
-                arr = _decode_payload(codec, bytes(payload))
+                arr = _decode_payload(codec, bytes(payload), decoders)
                 kept = arr[::every]
                 payloads.append(kept.tobytes())
                 frames.append(len(kept) if nf is not None else None)
@@ -139,6 +182,8 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     a real resampler (PIL/opencv) would plug into _decode_payload and
     replace the index arithmetic only."""
 
+    decoders = dict(_DECODERS)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
@@ -153,7 +198,7 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                     hs.append(None if pd.isna(h) else int(h))
                     continue
                 w, h = int(w), int(h)
-                img = _decode_payload(codec, raw).reshape(h, w)
+                img = _decode_payload(codec, raw, decoders).reshape(h, w)
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 payloads.append(img[np.ix_(yi, xi)].astype(np.uint8)
