@@ -155,10 +155,15 @@ def test_asof_join_property_vs_pandas(spark):
             l.sort_values("t", kind="stable"), r.sort_values("rt"),
             left_on="t", right_on="rt", by="k",
             tolerance=tol, direction=direction)
+        # bucket_width exercises the skew path on every trial; both paths
+        # must match pandas exactly (width 1 makes every bucket a carry
+        # test, larger widths mix local and carry fills)
+        width = [None, 1, 7, 25][trial % 4]
         got = asof_join(
             spark.createDataFrame(l), spark.createDataFrame(r),
             on="k", left_time="t", right_time="rt",
-            tolerance=tol, direction=direction).toPandas()
+            tolerance=tol, direction=direction,
+            bucket_width=width).toPandas()
         key = ["k", "t", "v"]
         want = want.sort_values(key).reset_index(drop=True)
         got = got.sort_values(key).reset_index(drop=True)
@@ -166,7 +171,53 @@ def test_asof_join_property_vs_pandas(spark):
         a = got["p_asof"].to_numpy(dtype=float)
         b = want["p"].to_numpy(dtype=float)
         ok = np.isclose(a, b) | (np.isnan(a) & np.isnan(b))
-        assert ok.all(), (trial, got[~ok], want[~ok])
+        assert ok.all(), (trial, width, got[~ok], want[~ok])
+
+
+def test_asof_join_skewed_hot_key_bucketed(spark):
+    """Adversarial skew (VERDICT r03 item 6): one key owning 90% of both
+    sides.  The default single-window path puts that key in ONE task; the
+    bucketed path must (a) produce the identical result and (b) bound the
+    largest shuffle group by the bucket population, not the key
+    population — the property that removes the straggler task."""
+    n_hot, n_cold, width = 9000, 1000, 128
+    left = [("hot", t, float(t)) for t in range(n_hot)] + \
+           [(f"c{t % 20}", t, float(t)) for t in range(n_cold)]
+    right = [("hot", rt, rt * 10.0) for rt in range(0, n_hot, 7)] + \
+            [(f"c{i}", 100 + i, 1.0) for i in range(20)]
+    ldf = spark.createDataFrame(left, "k string, t long, v double")
+    rdf = spark.createDataFrame(right, "k string, rt long, p double")
+    for direction, tol in (("backward", None), ("nearest", 40),
+                           ("forward", 3)):
+        base = {(r.k, r.t): r.p_asof for r in
+                asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                          direction=direction, tolerance=tol).collect()}
+        skew = {(r.k, r.t): r.p_asof for r in
+                asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                          direction=direction, tolerance=tol,
+                          bucket_width=width).collect()}
+        assert skew == base, direction
+    # shuffle-group bound: the hot key's window group shrinks from 90% of
+    # the union frame to one bucket's population
+    union_rows = [(k, t) for k, t, _ in left] + [(k, t) for k, t, _ in right]
+    from collections import Counter
+    single = Counter(k for k, _ in union_rows)
+    bucketed = Counter((k, t // width) for k, t in union_rows)
+    assert single.most_common(1)[0][1] > 0.8 * len(union_rows)
+    per_bucket_density = 1 + 1 / 7          # left + right rows per tick
+    assert bucketed.most_common(1)[0][1] <= width * per_bucket_density + 2
+
+
+def test_asof_join_bucketed_rejects_nonnumeric_time(spark):
+    import datetime
+    import pytest
+    l = spark.createDataFrame([("a", datetime.datetime(2024, 1, 1), 1.0)],
+                              "k string, t timestamp, v double")
+    r = spark.createDataFrame([("a", datetime.datetime(2024, 1, 1), 2.0)],
+                              "k string, rt timestamp, p double")
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join(l, r, on="k", left_time="t", right_time="rt",
+                  bucket_width=60)
 
 
 # ---------------------------------------------------------------------------
@@ -320,3 +371,54 @@ def test_interval_join_auto_width_survives_one_huge_interval(spark):
            for r in interval_join(pts, ivs, on="k", point_col="t",
                                   start_col="s", end_col="e").collect()}
     assert got == {(0, "s2"), (0, "huge"), (1, "huge")}
+
+
+def test_interval_join_skewed_hot_key_and_pathological_median(spark):
+    """Adversarial skew (VERDICT r03 item 6): one key owns 90% of the
+    points AND the interval-length median is pathological (thousands of
+    2-tick sessions plus one corpus-spanning interval).  The bucketized
+    rewrite must stay exact, and the largest (key, bucket) shuffle group
+    must be bounded by bucket population — time spreads the hot key, so
+    no single straggler task."""
+    from collections import Counter
+
+    from wotan_spark.spark.joins import interval_join
+    n_hot, n_cold = 9000, 1000
+    pts = [("hot", t, t) for t in range(n_hot)] + \
+          [(f"c{t % 20}", t, n_hot + t) for t in range(n_cold)]
+    ivs = [("hot", s, s + 2, f"s{s}") for s in range(0, n_hot, 4)] + \
+          [("hot", 0, 10_000_000_000, "huge")] + \
+          [(f"c{i}", 0, 500, f"cold{i}") for i in range(20)]
+    pdf = spark.createDataFrame(pts, "k string, t long, pid long")
+    idf = spark.createDataFrame(ivs, "k string, s long, e long, name string")
+    want = {(pid, name) for k, t, pid in pts
+            for ik, s, e, name in ivs if ik == k and s <= t < e}
+    matched = {pid for pid, _ in want}
+    for how in ("inner", "left"):
+        out = interval_join(pdf, idf, on="k", point_col="t",
+                            start_col="s", end_col="e", how=how)
+        got = {(r.pid, r.name_iv) for r in out.collect()}
+        expect = want if how == "inner" else want | {
+            (pid, None) for _, _, pid in pts if pid not in matched}
+        assert got == expect, how
+    # shuffle-group bound: the long/short split sends the huge interval to
+    # the broadcast pass, so the auto width stays at the median (2) — the
+    # hot key's 9000 points spread over ~4500 buckets instead of packing
+    # one (key, bucket) group.  Replicate the bucketing to assert it.
+    width = 2
+    groups = Counter((k, t // width) for k, t, _ in pts)
+    hot_total = sum(1 for k, _, _ in pts if k == "hot")
+    assert hot_total > 0.8 * len(pts)
+    assert groups.most_common(1)[0][1] <= width + 1
+    iv_groups = Counter()
+    for ik, s, e, _ in ivs:
+        if e - s > 64 * width:          # broadcast pass, never exploded
+            continue
+        for b in range(s // width, (e - 1) // width + 1):
+            iv_groups[(ik, b)] += 1
+    assert iv_groups.most_common(1)[0][1] <= 2
+    # and the degenerate opt-out still bounds the explode via the /4096
+    # floor (single-pass plan)
+    legacy = interval_join(pdf, idf, on="k", point_col="t", start_col="s",
+                           end_col="e", long_factor=None)
+    assert {(r.pid, r.name_iv) for r in legacy.collect()} == want

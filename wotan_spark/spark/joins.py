@@ -29,7 +29,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_time: str, right_time: str,
               tolerance: float | int | None = None,
               direction: str = "backward",
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              bucket_width: int | float | None = None) -> DataFrame:
     """For every left row, attach the payload of the right row nearest in
     time within the same key group (pandas ``merge_asof`` semantics, exact
     matches included):
@@ -48,6 +49,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     right row at the exact left timestamp regardless of intra-instant sort
     position, so exact matches are deterministic without a secondary sort
     key.
+
+    ``bucket_width`` (optional) is the SKEW path: the default single
+    window per key puts a key owning 90% of the rows into one task (sort +
+    fill are not splittable within a window partition).  With a width set,
+    rows window within (key, time-div-width) buckets instead — the hot key
+    spreads across its time range — and left rows with no in-bucket match
+    take a carry-in fill computed on the BUCKET-LEVEL frame (one row per
+    (key, bucket), orders of magnitude smaller, so its own window is
+    cheap).  Output is identical to the single-window path (tested,
+    including property parity vs pandas merge_asof); the trade is one
+    extra small-frame shuffle join.  Pick a width so a typical key has
+    many populated buckets — e.g. the tier bucket width.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -57,7 +70,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     # fail upfront on names that would silently corrupt the union-sort
     # plumbing or emit ambiguous duplicate output columns (same contract
     # as interval_join's '__bk' check)
-    reserved = {"__t", "__is_left", "__m", "__b", "__f"}
+    reserved = {"__t", "__is_left", "__m", "__b", "__f",
+                "__bk", "__lm", "__fm", "__cb", "__cf"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"column names {sorted(clash)} are reserved "
@@ -97,19 +111,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         F.struct(F.col(right_time).alias("__rt"),
                  *[F.col(c) for c in payload]).alias("__m"),
     )
-    base = Window.partitionBy(*keys).orderBy("__t")
-    wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    want_b = direction in ("backward", "nearest")
+    want_f = direction in ("forward", "nearest")
 
-    fills = []
-    if direction in ("backward", "nearest"):
-        fills.append(F.last("__m", ignorenulls=True).over(wb).alias("__b"))
-    if direction in ("forward", "nearest"):
-        fills.append(F.first("__m", ignorenulls=True).over(wf).alias("__f"))
-
-    u = (lt.unionByName(rt)
-         .select(*keys, "__t", "__is_left", *carry, *fills)
-         .filter(F.col("__is_left") == 1))
+    if bucket_width is None:
+        base = Window.partitionBy(*keys).orderBy("__t")
+        wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        fills = []
+        if want_b:
+            fills.append(F.last("__m", ignorenulls=True).over(wb)
+                         .alias("__b"))
+        if want_f:
+            fills.append(F.first("__m", ignorenulls=True).over(wf)
+                         .alias("__f"))
+        u = (lt.unionByName(rt)
+             .select(*keys, "__t", "__is_left", *carry, *fills)
+             .filter(F.col("__is_left") == 1))
+    else:
+        u = _asof_bucketed(lt.unionByName(rt), keys, carry, bucket_width,
+                           left.schema[left_time].dataType, want_b, want_f)
 
     def _bad(m: str, dist: F.Column) -> F.Column:
         bad = F.col(m).isNull()
@@ -137,11 +158,85 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     return (u.select(*keys, F.col("__t").alias(left_time), *carry, *sel))
 
 
+def _asof_bucketed(un: DataFrame, keys: list[str], carry: list[str],
+                   bucket_width, time_type, want_b: bool,
+                   want_f: bool) -> DataFrame:
+    """Skew path of asof_join: windows run within (key, time-bucket)
+    groups, so a hot key's rows split across its time range instead of one
+    task.  Cross-bucket matches come from a bucket-level carry frame (one
+    row per populated (key, bucket)).
+
+    Bucket ids only need to be MONOTONIC in time for the carry ordering to
+    be sound (every right row in an earlier bucket is strictly older than
+    every left row in a later one), so integral times use exact truncating
+    ``div`` (consistent, safe past 2^53) and floats use plain division —
+    floor alignment is irrelevant.
+    """
+    from pyspark.sql.types import NumericType
+    if not bucket_width > 0:
+        raise ValueError("bucket_width must be > 0")
+    if not isinstance(time_type, NumericType):
+        raise ValueError("bucket_width (skew path) requires numeric time "
+                         f"columns, got {time_type.simpleString()}")
+    integral = time_type.typeName() in {"integer", "long", "short", "byte"}
+    if integral and isinstance(bucket_width, int):
+        bk = F.expr(f"`__t` div {int(bucket_width)}")
+    else:
+        bk = F.floor(F.col("__t") / F.lit(float(bucket_width))).cast("long")
+    un = un.withColumn("__bk", bk)
+
+    grp = Window.partitionBy(*keys, "__bk").orderBy("__t")
+    whole = grp.rangeBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    fills = []
+    if want_b:
+        fills.append(F.last("__m", ignorenulls=True).over(
+            grp.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("__b"))
+        # newest right row of the whole bucket (feeds later buckets' carry)
+        fills.append(F.last("__m", ignorenulls=True).over(whole)
+                     .alias("__lm"))
+    if want_f:
+        fills.append(F.first("__m", ignorenulls=True).over(
+            grp.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+            .alias("__f"))
+        fills.append(F.first("__m", ignorenulls=True).over(whole)
+                     .alias("__fm"))
+    un = un.select(*keys, "__bk", "__t", "__is_left", *carry, *fills)
+
+    # bucket-level carry frame: one row per populated (key, bucket) —
+    # orders of magnitude smaller than the row frame, so ITS per-key
+    # window is cheap even for the hot key
+    bw = Window.partitionBy(*keys).orderBy("__bk")
+    bags, cars = [], []
+    if want_b:
+        bags.append(F.any_value("__lm").alias("__lm"))
+        cars.append(F.last("__lm", ignorenulls=True).over(
+            bw.rowsBetween(Window.unboundedPreceding, -1)).alias("__cb"))
+    if want_f:
+        bags.append(F.any_value("__fm").alias("__fm"))
+        cars.append(F.first("__fm", ignorenulls=True).over(
+            bw.rowsBetween(1, Window.unboundedFollowing)).alias("__cf"))
+    bframe = (un.groupBy(*keys, "__bk").agg(*bags)
+              .select(*keys, "__bk", *cars))
+
+    out_fill = []
+    if want_b:
+        out_fill.append(F.coalesce("__b", "__cb").alias("__b"))
+    if want_f:
+        out_fill.append(F.coalesce("__f", "__cf").alias("__f"))
+    return (un.filter(F.col("__is_left") == 1)
+            .join(bframe, [*keys, "__bk"], "left")
+            .select(*keys, "__t", "__is_left", *carry, *out_fill))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame,
                   on: list[str] | str, point_col: str,
                   start_col: str, end_col: str,
                   bucket_width: int | float | None = None,
-                  how: str = "inner", suffix: str = "_iv") -> DataFrame:
+                  how: str = "inner", suffix: str = "_iv",
+                  long_factor: int | None = 64,
+                  long_broadcast_max: int = 100_000) -> DataFrame:
     """For every point row, attach each half-open interval ``[start, end)``
     of the same key group that contains it (one output row per match;
     ``how="left"`` keeps pointless rows with NULL interval columns).
@@ -166,6 +261,19 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     rounding at bucket edges, safe past 2^53); float times use a
     consistent ``floor`` on both sides.  Empty intervals (``end <=
     start``) match nothing, as half-open semantics dictate.
+
+    Long/short split (``long_factor``): an interval longer than
+    ``long_factor * width`` would either explode over many buckets (small
+    width) or force a width so coarse that one (key, bucket) group holds a
+    skewed key's whole point set — the straggler task.  Such intervals are
+    rare by construction (the width tracks the MEDIAN), so they take a
+    separate BROADCAST pass instead: key-equi broadcast join + containment
+    filter, fully parallel over the point partitions, no explode, while
+    the 99% short intervals keep the fine bucketized join.  The pass is
+    guarded by ``long_broadcast_max`` (eager count; exceeding it raises
+    rather than silently building an over-sized broadcast).
+    ``long_factor=None`` disables the split and restores the single-pass
+    plan with the max/4096 explode floor.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
@@ -183,7 +291,9 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         # auto-tune to the median interval length — ONE small eager
         # aggregation over the intervals side (documented trade: this
         # call is no longer fully lazy, but it removes the operator's
-        # main footgun of a mis-sized bucket).  The width is floored at
+        # main footgun of a mis-sized bucket).  With the long/short split
+        # active the width tracks the median alone (long outliers go to
+        # the broadcast pass); without it the width is floored at
         # max_length/4096 so a single huge interval amid short ones can
         # never explode into an unbounded bucket sequence (the explode
         # would otherwise have to build a length/median-element array).
@@ -198,6 +308,9 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         med, mx = row["m"], row["mx"]
         if med is None:
             bucket_width = 1 if cols_integral else 1.0
+        elif long_factor is not None:
+            bucket_width = (max(1, int(med)) if cols_integral
+                            else (float(med) if med > 0 else 1.0))
         elif cols_integral:
             bucket_width = max(1, int(med), -(-int(mx) // 4096))
         else:
@@ -217,18 +330,55 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         lo = F.floor(F.col(start_col) / w).cast("long")
         hi = (F.ceil(F.col(end_col) / w) - 1).cast("long")
 
-    p = points.withColumn("__bk", pb).alias("__p")
-    iv = (intervals
-          .filter(F.col(end_col) > F.col(start_col))
-          .withColumn("__bk", F.explode(F.sequence(lo, hi)))
-          .alias("__i"))
-    cond = F.col("__p.__bk") == F.col("__i.__bk")
-    for k in keys:
-        cond = cond & (F.col(f"__p.`{k}`") == F.col(f"__i.`{k}`"))
-    cond = (cond
-            & (F.col(f"__p.`{point_col}`") >= F.col(f"__i.`{start_col}`"))
-            & (F.col(f"__p.`{point_col}`") < F.col(f"__i.`{end_col}`")))
-    out_left = [F.col(f"__p.`{c}`").alias(c)
-                for c in points.columns if c != "__bk"]
+    def _cond(with_bucket: bool) -> F.Column:
+        cond = (F.col(f"__p.`{point_col}`") >= F.col(f"__i.`{start_col}`")) \
+            & (F.col(f"__p.`{point_col}`") < F.col(f"__i.`{end_col}`"))
+        if with_bucket:
+            cond = cond & (F.col("__p.__bk") == F.col("__i.__bk"))
+        for k in keys:
+            cond = cond & (F.col(f"__p.`{k}`") == F.col(f"__i.`{k}`"))
+        return cond
+
+    out_left = [F.col(f"__p.`{c}`").alias(c) for c in points.columns]
     out_right = [F.col(f"__i.`{c}`").alias(f"{c}{suffix}") for c in payload]
-    return p.join(iv, cond, how).select(*out_left, *out_right)
+    valid = intervals.filter(F.col(end_col) > F.col(start_col))
+    p = points.withColumn("__bk", pb)
+
+    if long_factor is None:
+        iv = valid.withColumn("__bk", F.explode(F.sequence(lo, hi)))
+        return (p.alias("__p").join(iv.alias("__i"), _cond(True), how)
+                .select(*out_left, *out_right))
+
+    length = F.col(end_col) - F.col(start_col)
+    thr = F.lit(long_factor) * F.lit(bucket_width)
+    short_iv = valid.filter(length <= thr)
+    long_iv = valid.filter(length > thr)
+    n_long = long_iv.limit(long_broadcast_max + 1).count()
+    if n_long > long_broadcast_max:
+        raise ValueError(
+            f"more than long_broadcast_max={long_broadcast_max} intervals "
+            f"exceed {long_factor}x the bucket width — raise bucket_width/"
+            "long_factor or disable the split (long_factor=None)")
+    iv = short_iv.withColumn("__bk", F.explode(F.sequence(lo, hi)))
+    parts = [p.alias("__p").join(iv.alias("__i"), _cond(True), "inner")
+             .select(*out_left, *out_right)]
+    if n_long:
+        parts.append(
+            points.alias("__p")
+            .join(F.broadcast(long_iv.alias("__i")), _cond(False), "inner")
+            .select(*out_left, *out_right))
+    inner = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if how == "inner":
+        return inner
+    # how="left": unmatched point rows (row-level anti joins preserve
+    # duplicate points) come back with NULL interval columns, exactly as
+    # the single-pass left join emitted them
+    un = p.alias("__p").join(iv.alias("__i"), _cond(True), "left_anti")
+    if n_long:
+        un = (un.alias("__p")
+              .join(F.broadcast(long_iv.alias("__i")), _cond(False),
+                    "left_anti"))
+    nulls = [F.lit(None).cast(intervals.schema[c].dataType)
+             .alias(f"{c}{suffix}") for c in payload]
+    return inner.unionByName(
+        un.select(*[F.col(c) for c in points.columns], *nulls))
