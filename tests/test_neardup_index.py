@@ -1,0 +1,96 @@
+"""Incrementally maintained near-dup index: parity with the one-shot
+operator, O(delta) update cost, append-only guards, warm path independent
+of the original corpus files."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from wotan_spark.spark.datapipe import minhash_lsh_pairs
+from wotan_spark.spark.neardup_index import NearDupIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df):
+    return {(r.doc_a, r.doc_b, r.n_bands) for r in df.collect()}
+
+
+def test_incremental_updates_equal_full_recompute(spark, tmp_path):
+    """build(A) + update(B) + update(C) must yield exactly
+    minhash_lsh_pairs(A+B+C) — the maintained index is a drop-in for the
+    one-shot operator."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 3 = 0")
+    b = docs.filter("doc_id % 3 = 1")
+    c = docs.filter("doc_id % 3 = 2")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, a)
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(a))
+    idx.update_incremental(spark, b, run_id="u1")
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(a.unionByName(b)))
+    idx.update_incremental(spark, c, run_id="u2")
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(docs))
+
+
+def test_update_touches_only_the_delta(spark, tmp_path):
+    """The appended band snapshot holds exactly the delta's bands (4 per
+    shingle-bearing doc) and the appended pair snapshot holds exactly the
+    pairs involving a delta doc — O(delta), not O(corpus)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id < 40")
+    b = docs.filter("doc_id >= 40")
+    n_b_docs = (b.filter("text IS NOT NULL")
+                .filter("size(split(lower(text), ' ')) >= 3").count())
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, a)
+    res = idx.update_incremental(spark, b, run_id="u1")
+    assert res["delta_band_rows"] == 4 * n_b_docs
+    full = _pairs_set(minhash_lsh_pairs(docs))
+    old = _pairs_set(minhash_lsh_pairs(a))
+    b_ids = {r.doc_id for r in b.select("doc_id").collect()}
+    delta_pairs = {p for p in full - old
+                   if p[0] in b_ids or p[1] in b_ids}
+    assert res["new_pair_rows"] == len(delta_pairs)
+    assert full == old | delta_pairs  # appends never rewrite old pairs
+
+
+def test_warm_path_never_rereads_corpus_text(spark, tmp_path):
+    """The cold build input can disappear from disk and updates still run:
+    the warm path reads only the maintained band table plus the delta —
+    the 'cold index build disappears from the warm path' criterion."""
+    src = str(tmp_path / "corpus")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter("doc_id < 60").write.parquet(src)
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, spark.read.parquet(src))
+    before = _pairs_set(idx.candidate_pairs(spark))
+    shutil.rmtree(src)
+    delta = spark.createDataFrame(
+        [(10_001, "alpha beta gamma delta epsilon", "s"),
+         (10_002, "alpha beta gamma delta epsilon", "s")],
+        "doc_id long, text string, source string")
+    res = idx.update_incremental(spark, delta, run_id="u1")
+    after = _pairs_set(idx.candidate_pairs(spark))
+    assert (10_001, 10_002, 4) in after - before
+    assert res["delta_band_rows"] == 8
+
+
+def test_append_only_and_param_guards(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    with pytest.raises(ValueError, match="build"):
+        idx.candidate_pairs(spark)
+    idx.build(spark, docs.filter("doc_id < 50"))
+    with pytest.raises(ValueError, match="append-only"):
+        idx.update_incremental(spark, docs.filter("doc_id < 10"),
+                               run_id="dup")
+    other = NearDupIndex(str(tmp_path / "nd"), band_size=4)
+    with pytest.raises(ValueError, match="built with"):
+        other.update_incremental(spark, docs.filter("doc_id >= 50"),
+                                 run_id="u")

@@ -446,6 +446,29 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_bands(docs: DataFrame, n: int = 3,
+                  band_size: int = 2) -> DataFrame:
+    """(doc_id, band_id, band_hash) — the banded MinHash signature frame,
+    the LSH bucket key material.  Signatures are corpus-independent (each
+    doc's bands depend only on its own shingles), which is what makes the
+    index INCREMENTALLY maintainable: new docs' bands never change old
+    rows (see ``neardup_index.NearDupIndex``)."""
+    sig = minhash_signatures(docs, n)
+    n_bands = len(MINHASH_COEFFS) // band_size
+    # one explode instead of a union of n_bands selects: the signature
+    # subtree (shingles + hash + groupBy) is evaluated once, not n_bands x
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"h{b * band_size + j}").cast("string")
+                for j in range(band_size)])).alias("band_hash"))
+        for b in range(n_bands)]
+    return (sig.select("doc_id",
+                       F.explode(F.array(*band_structs)).alias("band"))
+            .select("doc_id", "band.band_id", "band.band_hash"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                       band_size: int = 2,
                       bucket_cap: int = DEFAULT_BUCKET_CAP,
@@ -459,20 +482,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     ``max_bucket`` optionally drops such buckets outright (they encode no
     pair signal a 10^12-doc pipeline wants — exact dedup catches identical
     boilerplate at a fraction of the O(m^2) pair cost)."""
-    sig = minhash_signatures(docs, n)
-    n_bands = len(MINHASH_COEFFS) // band_size
-    # one explode instead of a union of n_bands selects: the signature
-    # subtree (shingles + hash + groupBy) is evaluated once, not n_bands x
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *[
-                F.col(f"h{b * band_size + j}").cast("string")
-                for j in range(band_size)])).alias("band_hash"))
-        for b in range(n_bands)]
-    all_bands = (sig.select("doc_id",
-                            F.explode(F.array(*band_structs)).alias("band"))
-                 .select("doc_id", "band.band_id", "band.band_hash"))
+    all_bands = minhash_bands(docs, n, band_size)
     # bucket-and-expand instead of a self-join: the self-join would run the
     # whole signature computation twice (no exchange reuse after the
     # right side is de-aliased); this shape shuffles it once.
