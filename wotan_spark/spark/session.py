@@ -15,13 +15,18 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "wotan-spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              master: str | None = None) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — e.g.
+    ``local-cluster[4,4,4096]`` spawns real executor JVMs for
+    executor-scaling evidence (bench_scaling.py mode=executors); ``cores``
+    then still sizes shuffle partitions."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
