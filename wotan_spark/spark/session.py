@@ -44,6 +44,15 @@ def get_spark(app_name: str = "wotan-spark", cores: int | None = None,
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
+    if (master or "").startswith("local-cluster"):
+        # real executor JVMs spawn their own Python workers, which do not
+        # inherit the driver's sys.path — ship the engine's import root the
+        # way `spark-submit --py-files` would on a cluster
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        pythonpath = os.pathsep.join(
+            p for p in (repo_root, os.environ.get("PYTHONPATH")) if p)
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pythonpath)
     # see shipping.EXCLUDED_OPTIMIZER_RULES: InferFiltersFromGenerate
     # re-evaluates computed explode arrays 2 extra times per row
     from wotan_spark.spark.shipping import EXCLUDED_OPTIMIZER_RULES
