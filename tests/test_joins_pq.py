@@ -422,3 +422,70 @@ def test_interval_join_skewed_hot_key_and_pathological_median(spark):
     legacy = interval_join(pdf, idf, on="k", point_col="t", start_col="s",
                            end_col="e", long_factor=None)
     assert {(r.pid, r.name_iv) for r in legacy.collect()} == want
+
+
+def test_interval_join_explicit_width_is_lazy(spark):
+    """An explicit bucket_width call must run ZERO Spark jobs at plan-build
+    time (round-4 review: the long-side probe made every call eager,
+    doubling the intervals-subtree cost of driver queries that had already
+    sized their buckets)."""
+    from wotan_spark.spark.joins import interval_join
+    pts, ivs = _iv_frames(spark)
+    sc = spark.sparkContext
+    sc.setJobGroup("ij-lazy-check", "interval_join plan build")
+    try:
+        plan = interval_join(pts, ivs, on="k", point_col="t",
+                             start_col="s", end_col="e", bucket_width=4)
+        assert list(sc.statusTracker().getJobIdsForGroup(
+            "ij-lazy-check")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert plan.count() == 5        # and the plan still works
+
+
+def test_interval_join_auto_falls_back_past_broadcast_budget(spark):
+    """Default-parameter calls on a heavy-tailed corpus (more long
+    intervals than the broadcast budget) must DEGRADE to the floored
+    single-pass plan, not raise (round-4 review); an explicit long_factor
+    opts into the strict ValueError."""
+    import pytest
+    from wotan_spark.spark.joins import interval_join
+    pts = spark.createDataFrame(
+        [("k", t, t) for t in range(40)], "k string, t long, pid long")
+    # median length 2, three intervals far past 64x the median
+    ivs = spark.createDataFrame(
+        [("k", i, i + 2, f"s{i}") for i in range(0, 20, 2)]
+        + [("k", 0, 100_000_000 + i, f"L{i}") for i in range(3)],
+        "k string, s long, e long, name string")
+    iv_rows = [(r.s, r.e, r.name) for r in ivs.collect()]
+    want = {(t, n) for t in range(40)          # pid == t
+            for s, e, n in iv_rows if s <= t < e}
+    got = {(r.pid, r.name_iv) for r in interval_join(
+        pts, ivs, on="k", point_col="t", start_col="s", end_col="e",
+        long_broadcast_max=2).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="long_broadcast_max"):
+        interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                      end_col="e", long_factor=64, long_broadcast_max=2)
+    with pytest.raises(ValueError, match="long_factor"):
+        interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                      end_col="e", long_factor="bogus")
+
+
+def test_asof_join_bucketed_mixed_time_types(spark):
+    """Round-4 review: long left + double right promotes the union's __t
+    to double; the bucket expression must follow the RESOLVED type, not
+    left's (an integer `div` on a double column fails to plan)."""
+    from wotan_spark.spark.joins import asof_join
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2)], "k string, t long, pid int")
+    right = spark.createDataFrame(
+        [("a", 9.5, 100.0), ("a", 19.5, 200.0)],
+        "k string, rt double, v double")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    bucket_width=5)
+    got = {(r.pid, r.v) for r in out.collect()}
+    assert got == {(1, 100.0), (2, 200.0)}
+    # and the same frames agree with the single-window plan
+    ref = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert got == {(r.pid, r.v) for r in ref.collect()}

@@ -102,6 +102,8 @@ def test_registered_decoder_runs_end_to_end(spark):
     assert "png" not in registered_codecs()
     with pytest.raises(ValueError):
         unregister_decoder("raw")
+    with pytest.raises(ValueError):
+        register_decoder("raw", _decode_fake_png)   # can't be replaced
     with pytest.raises(TypeError):
         register_decoder("bad", 42)
     # a plan built BEFORE registration must not see a later decoder: the
@@ -400,18 +402,32 @@ def test_streaming_enrichment_tracks_latest_tier_snapshot(spark, tmp_path):
     sids = [m["meta"].get("tier_snapshot") for m in out.snapshots()]
     assert sids == [sid1, sid2]
 
-    # at-least-once replay (ADVICE r03): a crash between the append and the
+    # at-least-once replay (ADVICE r03): a crash between the merge and the
     # streaming checkpoint commit replays the batch on restart — simulate
     # with a wiped checkpoint (batch ids restart at 0, availableNow re-reads
-    # every landing file).  The batch-id guard must skip the already-
-    # committed batch: no duplicate rows, no new snapshots.
+    # every landing file).  The (doc_id, t) key-merge must keep the row set
+    # identical: no duplicates.
     import shutil
     shutil.rmtree(ckpt)
     run_enrichment(spark, landing, tier_root, out_root, ckpt,
                    bucket_width=10, tolerance_buckets=3)
     replay = {(r.doc_id, r.t): r.y_mean_asof for r in out.read(spark).collect()}
     assert replay == got2, "replayed batch duplicated enrichment rows"
-    assert len(out.snapshots()) == 2
+    assert out.read(spark).count() == 2
+
+    # checkpoint rebuild + NEW data (round-4 review): after another wipe a
+    # fresh file lands, so availableNow batch 0 = old+new files under a
+    # REUSED batch id.  A batch-id guard would skip the whole batch and
+    # silently lose the new point; the key-merge must enrich it while the
+    # old rows stay unduplicated.
+    shutil.rmtree(ckpt)
+    spark.createDataFrame([("d1", 35, 3.0)], "doc_id string, t long, y double") \
+        .write.mode("append").parquet(landing)
+    run_enrichment(spark, landing, tier_root, out_root, ckpt,
+                   bucket_width=10, tolerance_buckets=3)
+    got3 = {(r.doc_id, r.t): r.y_mean_asof for r in out.read(spark).collect()}
+    assert got3 == {("d1", 15): 10.0, ("d1", 25): 20.0, ("d1", 35): 20.0}
+    assert out.read(spark).count() == 3
 
 
 def test_streaming_pipeline_ingestion_maintains_all_tiers(spark, tmp_path):

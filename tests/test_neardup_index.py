@@ -94,3 +94,43 @@ def test_append_only_and_param_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="built with"):
         other.update_incremental(spark, docs.filter("doc_id >= 50"),
                                  run_id="u")
+
+
+def test_update_incremental_is_idempotent_per_run_id(spark, tmp_path):
+    """Crash-replay safety (round-4 review): a retry of the SAME run_id
+    must not double-append pairs — whether the first attempt fully
+    succeeded, or crashed between the pairs append and the bands append."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 3 = 0")
+    b = docs.filter("doc_id % 3 = 1")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, a)
+    r1 = idx.update_incremental(spark, b, run_id="u1")
+    want = _pairs_set(idx.candidate_pairs(spark))
+    # full-success retry: exact no-op, same snapshot ids returned
+    r2 = idx.update_incremental(spark, b, run_id="u1")
+    assert r2 == r1
+    assert _pairs_set(idx.candidate_pairs(spark)) == want
+    # half-done crash: pairs landed, bands did not (the real crash window
+    # given the append order) — simulate by crashing the bands append of
+    # a SECOND batch, then retrying that run
+    c = docs.filter("doc_id % 3 = 2")
+    orig_append = idx.bands.append
+
+    def boom(df, **meta):
+        raise RuntimeError("simulated crash before bands append")
+
+    idx.bands.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.update_incremental(spark, c, run_id="u2")
+    idx.bands.append = orig_append
+    assert idx.pairs.find_snapshot(run_id="u2") is not None   # half-done
+    assert idx.bands.find_snapshot(run_id="u2") is None
+    r4 = idx.update_incremental(spark, c, run_id="u2")        # retry
+    assert idx.bands.find_snapshot(run_id="u2") is not None
+    assert r4["pairs_snapshot"] == \
+        idx.pairs.find_snapshot(run_id="u2")["snapshot_id"]
+    # the completed index equals the one-shot operator over everything —
+    # no doubled pairs from the replayed run
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(docs))

@@ -465,3 +465,32 @@ def test_merge_buckets_schema_divergence_takes_full_rewrite(spark,
     assert dict(out.dtypes)["v"] == "double"  # unionByName resolution
     assert {(r.bucket, r.v) for r in out.collect()} == {(0, 1.0),
                                                         (10**10, 2.0)}
+
+
+def test_dir_schema_survives_corrupt_sidecar_and_footer(spark, tmp_path):
+    """Round-4 review: a _schema.json holding valid JSON of the wrong
+    shape, or a corrupt parquet footer, must degrade to the documented
+    None = conservative full rewrite — never raise out of merge_buckets."""
+    import json
+    import os
+
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([("a", 1, 1.0)],
+                                      "doc_id string, bucket long, y double"))
+    d = t._manifest(t.current_snapshot_id())["files"][0]
+    # wrong-shape JSON sidecar: falls through to the parquet footer
+    with open(os.path.join(d, "_schema.json"), "w") as f:
+        json.dump({"not": "a schema"}, f)
+    assert t._dir_schema(d) is not None          # footer still readable
+    # corrupt every footer too: now undeterminable
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(d, fn), "wb") as f:
+                f.write(b"not parquet at all")
+    assert t._dir_schema(d) is None
+    # and the merge still completes via the conservative rewrite path
+    sid = t.merge_buckets(spark, spark.createDataFrame(
+        [("a", 2, 2.0)], "doc_id string, bucket long, y double"),
+        keys=["doc_id", "bucket"])
+    assert sid is not None

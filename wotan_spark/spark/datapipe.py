@@ -133,6 +133,10 @@ def _bucket_pairs(members: F.Column) -> F.Column:
 
 DEFAULT_BUCKET_CAP = 256
 
+# last _capped_pairs block-index cache, released on the next call (see
+# _capped_pairs: persisted frames have no in-function unpersist point)
+_LIVE_BLOCK_CACHE: list = []
+
 
 def _capped_pairs(exploded: DataFrame, keys: list[str], member,
                   cap: int = DEFAULT_BUCKET_CAP,
@@ -177,8 +181,18 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     # two consumers (within + both self-join sides): persist so the bucket
     # index is built once; recomputable lineage (vs localCheckpoint) keeps
     # executor loss survivable at scale.  Empty in the common no-hot-bucket
-    # case, so the persist costs nothing then.
+    # case, so the persist costs nothing then.  The cache is session-scoped
+    # with no safe unpersist point inside this function (the returned frame
+    # is lazy), so each call releases the PREVIOUS call's block index —
+    # bounded storage across many calls (e.g. incremental index updates);
+    # unpersist only drops the cache, a still-live old plan just recomputes.
     blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    while _LIVE_BLOCK_CACHE:
+        try:
+            _LIVE_BLOCK_CACHE.pop().unpersist(blocking=False)
+        except Exception:
+            pass   # stopped session / already released
+    _LIVE_BLOCK_CACHE.append(blocked)
     within = blocked.select(
         *keys, F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
     left = blocked.select(*keys, F.col("__blk").alias("__ba"),

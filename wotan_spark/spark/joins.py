@@ -129,8 +129,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
              .select(*keys, "__t", "__is_left", *carry, *fills)
              .filter(F.col("__is_left") == 1))
     else:
-        u = _asof_bucketed(lt.unionByName(rt), keys, carry, bucket_width,
-                           left.schema[left_time].dataType, want_b, want_f)
+        # the bucketing mode must follow the UNION's resolved __t type,
+        # not left's alone: long left + double right promotes __t to
+        # double, where an integer `div` bucket expression fails to plan
+        un = lt.unionByName(rt)
+        u = _asof_bucketed(un, keys, carry, bucket_width,
+                           un.schema["__t"].dataType, want_b, want_f)
 
     def _bad(m: str, dist: F.Column) -> F.Column:
         bad = F.col(m).isNull()
@@ -235,7 +239,7 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                   start_col: str, end_col: str,
                   bucket_width: int | float | None = None,
                   how: str = "inner", suffix: str = "_iv",
-                  long_factor: int | None = 64,
+                  long_factor: int | str | None = "auto",
                   long_broadcast_max: int = 100_000) -> DataFrame:
     """For every point row, attach each half-open interval ``[start, end)``
     of the same key group that contains it (one output row per match;
@@ -269,11 +273,19 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     rare by construction (the width tracks the MEDIAN), so they take a
     separate BROADCAST pass instead: key-equi broadcast join + containment
     filter, fully parallel over the point partitions, no explode, while
-    the 99% short intervals keep the fine bucketized join.  The pass is
-    guarded by ``long_broadcast_max`` (eager count; exceeding it raises
-    rather than silently building an over-sized broadcast).
-    ``long_factor=None`` disables the split and restores the single-pass
-    plan with the max/4096 explode floor.
+    the 99% short intervals keep the fine bucketized join.  Deciding the
+    split needs an eager count of the long side (guarded by
+    ``long_broadcast_max``), so its default is ``"auto"``: engage (at
+    factor 64) only when ``bucket_width`` is also auto — that path is
+    already eager for the median, and it is where a pathological median
+    can mis-size the buckets.  With an EXPLICIT ``bucket_width`` the call
+    stays fully lazy (single-pass plan; the caller sized the buckets).
+    Under ``"auto"``, more than ``long_broadcast_max`` long intervals
+    falls back to the single-pass plan with the max/4096 explode floor —
+    degraded bucketing, never an error.  An explicit integer
+    ``long_factor`` forces the split for any ``bucket_width`` and treats
+    an over-budget long side as a ValueError (the caller opted into the
+    broadcast).  ``long_factor=None`` disables the split outright.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how {how!r}")
@@ -281,6 +293,19 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     payload = [c for c in intervals.columns if c not in keys]
     if "__bk" in points.columns or "__bk" in intervals.columns:
         raise ValueError("column name '__bk' is reserved")
+
+    if isinstance(long_factor, str):
+        if long_factor != "auto":
+            raise ValueError(f"unknown long_factor {long_factor!r}")
+    elif long_factor is not None and (isinstance(long_factor, bool)
+                                      or long_factor < 1):
+        raise ValueError("long_factor must be a positive int, 'auto', "
+                         "or None")
+    split = (isinstance(long_factor, int) and
+             not isinstance(long_factor, bool)) or \
+        (long_factor == "auto" and bucket_width is None)
+    factor = long_factor if isinstance(long_factor, int) else 64
+    med = mx = None
 
     integral = {"integer", "long", "short", "byte"}
     cols_integral = (
@@ -308,7 +333,7 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         med, mx = row["m"], row["mx"]
         if med is None:
             bucket_width = 1 if cols_integral else 1.0
-        elif long_factor is not None:
+        elif split:
             bucket_width = (max(1, int(med)) if cols_integral
                             else (float(med) if med > 0 else 1.0))
         elif cols_integral:
@@ -318,6 +343,36 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                 if med > 0 or mx > 0 else 1.0
     if not bucket_width > 0:
         raise ValueError("bucket_width must be > 0")
+
+    n_long = 0
+    if split:
+        # eager probe of the long side (bounded by limit+count).  Only
+        # reached on the auto-width path — already eager for the median —
+        # or an explicit long_factor opt-in.
+        probe_len = F.col(end_col) - F.col(start_col)
+        n_long = (intervals
+                  .filter(F.col(end_col) > F.col(start_col))
+                  .filter(probe_len > F.lit(factor) * F.lit(bucket_width))
+                  .limit(long_broadcast_max + 1).count())
+        if n_long > long_broadcast_max:
+            if long_factor == "auto":
+                # too many long intervals to broadcast: degrade to the
+                # floored single-pass plan (med/mx are known here — the
+                # auto split only engages with auto width) instead of
+                # erroring a default-parameter call on a heavy-tailed
+                # corpus
+                split = False
+                if cols_integral:
+                    bucket_width = max(1, int(med), -(-int(mx) // 4096))
+                else:
+                    bucket_width = max(float(med), float(mx) / 4096.0)
+            else:
+                raise ValueError(
+                    f"more than long_broadcast_max={long_broadcast_max} "
+                    f"intervals exceed {factor}x the bucket width — raise "
+                    "bucket_width/long_factor or disable the split "
+                    "(long_factor=None)")
+
     int_mode = cols_integral and isinstance(bucket_width, int)
     if int_mode:
         w = F.lit(int(bucket_width))
@@ -344,21 +399,15 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     valid = intervals.filter(F.col(end_col) > F.col(start_col))
     p = points.withColumn("__bk", pb)
 
-    if long_factor is None:
+    if not split:
         iv = valid.withColumn("__bk", F.explode(F.sequence(lo, hi)))
         return (p.alias("__p").join(iv.alias("__i"), _cond(True), how)
                 .select(*out_left, *out_right))
 
     length = F.col(end_col) - F.col(start_col)
-    thr = F.lit(long_factor) * F.lit(bucket_width)
+    thr = F.lit(factor) * F.lit(bucket_width)
     short_iv = valid.filter(length <= thr)
     long_iv = valid.filter(length > thr)
-    n_long = long_iv.limit(long_broadcast_max + 1).count()
-    if n_long > long_broadcast_max:
-        raise ValueError(
-            f"more than long_broadcast_max={long_broadcast_max} intervals "
-            f"exceed {long_factor}x the bucket width — raise bucket_width/"
-            "long_factor or disable the split (long_factor=None)")
     iv = short_iv.withColumn("__bk", F.explode(F.sequence(lo, hi)))
     parts = [p.alias("__p").join(iv.alias("__i"), _cond(True), "inner")
              .select(*out_left, *out_right)]

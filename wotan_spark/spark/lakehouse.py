@@ -318,7 +318,9 @@ class SnapshotTable:
         try:
             with open(os.path.join(d, "_schema.json")) as f:
                 return tuple(tuple(x) for x in json.load(f))
-        except (FileNotFoundError, ValueError):
+        except (FileNotFoundError, ValueError, TypeError):
+            # TypeError = valid JSON of the wrong shape — still just an
+            # unusable sidecar, fall through to the parquet footer
             pass
         try:
             import pyarrow.parquet as pq
@@ -326,7 +328,11 @@ class SnapshotTable:
                       if f.endswith(".parquet"))
             return tuple((fld.name, str(fld.type))
                          for fld in pq.read_schema(os.path.join(d, fn)))
-        except (OSError, StopIteration):
+        except Exception:
+            # OSError, StopIteration, or a corrupt footer (pyarrow
+            # ArrowInvalid etc.) must all degrade to the documented
+            # None = "undeterminable, conservative full rewrite",
+            # never escape and block the merge
             return None
 
     def append(self, df: DataFrame, **meta) -> int:

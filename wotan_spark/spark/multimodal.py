@@ -98,6 +98,11 @@ def register_decoder(codec: str, fn) -> None:
     registration use it; ``raw`` stays the dependency-free test path."""
     if not callable(fn):
         raise TypeError(f"decoder for {codec!r} must be callable")
+    if str(codec) == "raw":
+        # mirror unregister_decoder's guard: the built-in raw decoder is
+        # the dependency-free path synth_media/dedup rely on, and there is
+        # no way to restore it once overwritten
+        raise ValueError("the built-in 'raw' decoder cannot be replaced")
     _DECODERS[str(codec)] = fn
 
 

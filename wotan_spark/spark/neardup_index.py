@@ -86,21 +86,39 @@ class NearDupIndex:
         """Index an appended batch: O(delta) signature work, one broadcast
         probe of the stored band index, new pairs appended.  The full
         corpus' text is never re-read (tested: the build input can be gone
-        from disk and updates still run)."""
+        from disk and updates still run).
+
+        ``run_id`` must be UNIQUE per batch — it is the idempotence key:
+        each table's append is skipped when a snapshot stamped with this
+        run_id already exists, so a retry after a crash between the two
+        appends completes the half-done update instead of double-appending
+        pairs, and a retry after full success is a no-op."""
         from pyspark import StorageLevel
         self._check_params()
+        done_p = self.pairs.find_snapshot(run_id=run_id)
+        done_b = self.bands.find_snapshot(run_id=run_id)
+        if done_p is not None and done_b is not None:
+            return self._update_result(done_b["snapshot_id"],
+                                       done_p["snapshot_id"])
         delta = minhash_bands(new_docs, self.n, self.band_size) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            indexed = self.bands.read(spark)
-            dup = (delta.select("doc_id").distinct()
-                   .join(indexed.select("doc_id").distinct(), "doc_id",
-                         "left_semi").limit(1).count())
-            if dup:
-                raise ValueError(
-                    "update_incremental got already-indexed doc ids — the "
-                    "index is append-only by doc identity; rebuild for "
-                    "mutated documents")
+            # the probe side is the index as of BEFORE this run: on a
+            # retry whose bands append already landed, reading HEAD would
+            # double-generate the delta's pairs (and trip the dup check)
+            base_sid = (self.bands._manifest(done_b["snapshot_id"])
+                        .get("parent") if done_b is not None
+                        else self.bands.current_snapshot_id())
+            indexed = self.bands.read(spark, snapshot_id=base_sid)
+            if done_b is None:
+                dup = (delta.select("doc_id").distinct()
+                       .join(indexed.select("doc_id").distinct(), "doc_id",
+                             "left_semi").limit(1).count())
+                if dup:
+                    raise ValueError(
+                        "update_incremental got already-indexed doc ids — "
+                        "the index is append-only by doc identity; rebuild "
+                        "for mutated documents")
             # (old, new) pairs: broadcast the small delta against the
             # index — index-only scan, no shuffle of the stored side
             cross = (indexed.join(
@@ -121,21 +139,26 @@ class NearDupIndex:
                          .groupBy(F.col("a").alias("doc_a"),
                                   F.col("b").alias("doc_b"))
                          .agg(F.countDistinct("band_id").alias("n_bands")))
-            p_sid = self.pairs.append(new_pairs, run_id=run_id,
-                                      **self._params_meta())
-            n_new_pairs = sum(
-                s["rows"] for s in self.pairs._load_stats(
-                    self.pairs._manifest(p_sid)["files"][-1]).values())
-            b_sid = self.bands.append(delta, run_id=run_id,
-                                      **self._params_meta())
-            n_delta_bands = sum(
-                s["rows"] for s in self.bands._load_stats(
-                    self.bands._manifest(b_sid)["files"][-1]).values())
+            # per-table run_id guards: a crash between the two appends
+            # leaves one table stamped — the retry skips it and completes
+            # the other, never appending the same rows twice
+            p_sid = (done_p["snapshot_id"] if done_p is not None
+                     else self.pairs.append(new_pairs, run_id=run_id,
+                                            **self._params_meta()))
+            b_sid = (done_b["snapshot_id"] if done_b is not None
+                     else self.bands.append(delta, run_id=run_id,
+                                            **self._params_meta()))
         finally:
             delta.unpersist()
+        return self._update_result(b_sid, p_sid)
+
+    def _update_result(self, b_sid: int, p_sid: int) -> dict:
+        def last_dir_rows(table: SnapshotTable, sid: int) -> int:
+            return sum(s["rows"] for s in table._load_stats(
+                table._manifest(sid)["files"][-1]).values())
         return {"bands_snapshot": b_sid, "pairs_snapshot": p_sid,
-                "delta_band_rows": n_delta_bands,
-                "new_pair_rows": n_new_pairs}
+                "delta_band_rows": last_dir_rows(self.bands, b_sid),
+                "new_pair_rows": last_dir_rows(self.pairs, p_sid)}
 
     def candidate_pairs(self, spark: SparkSession) -> DataFrame:
         """Cumulative (doc_a, doc_b, n_bands) — identical content to

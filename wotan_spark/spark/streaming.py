@@ -84,8 +84,12 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
                    tolerance_buckets: int | None = 3):
     """Streaming point-in-time enrichment: each micro-batch of raw points
     is as-of joined against the LATEST tier-10 snapshot — every point gets
-    the mean of its doc's freshest COMPLETED bucket — and appended to an
-    output table stamped with the tier snapshot it read.
+    the mean of its doc's freshest COMPLETED bucket — and key-merged on
+    (doc_id, t) into an output table stamped with the tier snapshot it
+    read.  Points are assumed unique per (doc_id, t); the merge makes the
+    sink idempotent under both at-least-once replay and checkpoint
+    rebuilds (a batch-id guard cannot: rebuilt checkpoints renumber
+    batches, so an id match can mask never-processed files).
 
     This is the consumption side of the continuous-aggregate loop: the
     ingestion sink keeps the tier table moving, and because ``foreachBatch``
@@ -109,13 +113,15 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
            if tolerance_buckets is not None else None)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a crash between this append and
-        # the streaming checkpoint commit replays the batch on restart, so
-        # skip a batch id the output table has already committed (same
-        # guard discipline as _pipeline_sink's run_id check and
-        # run_ingestion's idempotent merge)
-        if out_table.find_snapshot(stream_batch=batch_id) is not None:
-            return
+        # foreachBatch is at-least-once AND batch ids are only meaningful
+        # within one checkpoint lineage: a batch-id guard would silently
+        # DROP new data after a checkpoint rebuild (batch 0 then contains
+        # old+new files but matches the old snapshot's stamp).  Replay
+        # safety comes from content idempotence instead — the write is a
+        # key-merge on (doc_id, t), run_ingestion's discipline: a replayed
+        # batch upserts the same keys, a rebuilt-checkpoint batch upserts
+        # the old keys and inserts the new ones, nothing is lost or
+        # duplicated either way.
         # resolve HEAD once and read THAT snapshot: a concurrent ingestion
         # commit between the two calls would otherwise desynchronize the
         # recorded tier_snapshot stamp from the data actually joined
@@ -133,8 +139,9 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
             enriched = asof_join(batch_df, right, on="doc_id",
                                  left_time="t", right_time="t_end",
                                  tolerance=tol)
-        out_table.append(enriched, stream_batch=batch_id,
-                         tier_snapshot=sid)
+        out_table.merge_buckets(batch_df.sparkSession, enriched,
+                                keys=["doc_id", "t"],
+                                stream_batch=batch_id, tier_snapshot=sid)
 
     q = (stream.writeStream
          .foreachBatch(sink)
