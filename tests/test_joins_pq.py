@@ -484,8 +484,8 @@ def test_asof_join_bucketed_mixed_time_types(spark):
         "k string, rt double, v double")
     out = asof_join(left, right, on="k", left_time="t", right_time="rt",
                     bucket_width=5)
-    got = {(r.pid, r.v) for r in out.collect()}
+    got = {(r.pid, r.v_asof) for r in out.collect()}
     assert got == {(1, 100.0), (2, 200.0)}
     # and the same frames agree with the single-window plan
     ref = asof_join(left, right, on="k", left_time="t", right_time="rt")
-    assert got == {(r.pid, r.v) for r in ref.collect()}
+    assert got == {(r.pid, r.v_asof) for r in ref.collect()}

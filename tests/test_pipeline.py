@@ -483,14 +483,26 @@ def test_dir_schema_survives_corrupt_sidecar_and_footer(spark, tmp_path):
     with open(os.path.join(d, "_schema.json"), "w") as f:
         json.dump({"not": "a schema"}, f)
     assert t._dir_schema(d) is not None          # footer still readable
-    # corrupt every footer too: now undeterminable
+    # healthy data + broken sidecar: the merge completes normally
+    sid = t.merge_buckets(spark, spark.createDataFrame(
+        [("a", 2, 2.0)], "doc_id string, bucket long, y double"),
+        keys=["doc_id", "bucket"])
+    assert {(r.bucket, r.y) for r in t.read(spark).collect()} == \
+        {(1, 1.0), (2, 2.0)}
+    d = t._manifest(sid)["files"][-1]
+    # corrupt the new dir's sidecar AND every footer: now undeterminable
+    with open(os.path.join(d, "_schema.json"), "w") as f:
+        json.dump(["bad", "shape"], f)
     for fn in os.listdir(d):
         if fn.endswith(".parquet"):
             with open(os.path.join(d, fn), "wb") as f:
                 f.write(b"not parquet at all")
     assert t._dir_schema(d) is None
-    # and the merge still completes via the conservative rewrite path
-    sid = t.merge_buckets(spark, spark.createDataFrame(
-        [("a", 2, 2.0)], "doc_id string, bucket long, y double"),
-        keys=["doc_id", "bucket"])
-    assert sid is not None
+    # the conservative rewrite then READS the dir — destroyed data files
+    # surface as a loud Spark read error (data loss must never be silent),
+    # not a swallowed fingerprint exception
+    import pytest
+    with pytest.raises(Exception, match="parquet|Parquet|stage failure"):
+        t.merge_buckets(spark, spark.createDataFrame(
+            [("a", 2, 2.0)], "doc_id string, bucket long, y double"),
+            keys=["doc_id", "bucket"])

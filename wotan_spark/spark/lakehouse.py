@@ -317,10 +317,16 @@ class SnapshotTable:
         schema-mixed (conservative full rewrite)."""
         try:
             with open(os.path.join(d, "_schema.json")) as f:
-                return tuple(tuple(x) for x in json.load(f))
+                data = json.load(f)
+            # shape-validate: a list of (name, type) string pairs.  Wrong-
+            # shape JSON (a dict, bare strings) would otherwise "parse"
+            # into a garbage fingerprint instead of falling through.
+            if (isinstance(data, list)
+                    and all(isinstance(x, list) and len(x) == 2
+                            and all(isinstance(s, str) for s in x)
+                            for x in data)):
+                return tuple(tuple(x) for x in data)
         except (FileNotFoundError, ValueError, TypeError):
-            # TypeError = valid JSON of the wrong shape — still just an
-            # unusable sidecar, fall through to the parquet footer
             pass
         try:
             import pyarrow.parquet as pq
