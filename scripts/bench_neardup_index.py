@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Warm-path evidence for the incrementally maintained near-dup index.
+
+Measures, on the sf documents table (env SPARK_GRAFT_SF_DIR, default
+sf0.1), with an ingest batch of FRAC of the corpus:
+
+* ``full_recompute_s`` — one-shot ``minhash_lsh_pairs`` over the whole
+  corpus (what a per-call rebuild costs every time a batch lands);
+* ``cold_build_s``     — ``NearDupIndex.build`` over the base (paid once);
+* ``warm_update_s``    — ``update_incremental`` of the batch (the steady-
+  state per-ingest cost: O(delta) signatures + one index-only probe).
+
+Prints one JSON line.  Parity of the maintained index with the one-shot
+operator is pinned by tests/test_neardup_index.py; this script is timing
+only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FRAC = float(os.environ.get("WOTAN_NDX_FRAC", "0.1"))
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    from wotan_spark.spark.datapipe import minhash_lsh_pairs
+    from wotan_spark.spark.neardup_index import NearDupIndex
+    from wotan_spark.spark.session import get_spark
+
+    load0 = os.getloadavg()
+    spark = get_spark(app_name="bench-neardup-index",
+                      cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    mod = max(2, int(round(1.0 / FRAC)))
+    base = docs.filter(f"doc_id % {mod} != 0")
+    delta = docs.filter(f"doc_id % {mod} = 0")
+    n_delta = delta.count()
+
+    t0 = time.perf_counter()
+    n_pairs_full = minhash_lsh_pairs(docs).count()
+    full_s = time.perf_counter() - t0
+
+    root = tempfile.mkdtemp(prefix="ndx-bench-")
+    try:
+        idx = NearDupIndex(root)
+        t0 = time.perf_counter()
+        idx.build(spark, base)
+        cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = idx.update_incremental(spark, delta, run_id="bench-delta")
+        warm_s = time.perf_counter() - t0
+        n_pairs_idx = idx.candidate_pairs(spark).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "neardup index warm-path cost vs full recompute",
+        "sf_dir": SF_DIR, "n_docs": n_docs, "n_delta": n_delta,
+        "full_recompute_s": round(full_s, 3),
+        "cold_build_s": round(cold_s, 3),
+        "warm_update_s": round(warm_s, 3),
+        "speedup_warm_vs_full": round(full_s / warm_s, 2),
+        "pairs_full": n_pairs_full, "pairs_index": n_pairs_idx,
+        "new_pair_rows": r["new_pair_rows"],
+        "load_avg_pre": list(load0),
+    }))
+
+
+if __name__ == "__main__":
+    main()
