@@ -12,8 +12,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from wotan_spark.spark.datapipe import (_block_arrays, _capped_pairs,
-                                        _counted_members, bucket_size_stats,
+from wotan_spark.spark.datapipe import (_block_index, _capped_pairs,
+                                        bucket_size_stats,
                                         minhash_lsh_pairs,
                                         ngram_jaccard_pairs,
                                         ngram_jaccard_pairs_prefix)
@@ -50,21 +50,24 @@ def test_capped_pairs_complete_and_ordered(spark):
     assert p.filter(F.col("p.a") >= F.col("p.b")).count() == 0
 
 
-def test_block_arrays_bounded_by_cap(spark):
-    """The blocked stage never materializes an array over ``cap`` distinct
-    members — the property that bounds per-task memory.  Duplicate members
-    (hash-collision stand-ins) collapse inside one block instead of
-    straddling blocks (dense_rank ties), so pair output stays deduped."""
+def test_block_index_bounded_by_cap(spark):
+    """The block index never materializes an array over ``cap`` distinct
+    members — the property that bounds per-task memory.  Small buckets are
+    their own single block; duplicate members (hash-collision stand-ins)
+    collapse inside one block instead of straddling blocks (dense_rank
+    ties), so pair output stays deduped."""
     rows = [("hot", i) for i in range(1000)] + [("hot", 7)] * 5 \
         + [("cold", i) for i in range(10)]
     ex = spark.createDataFrame(rows, "key string, m int")
-    base = _counted_members(ex, ["key"], "m", max_bucket=None)
-    blocked = _block_arrays(base, ["key"], cap=64)
-    sizes = blocked.select(F.size("ms").alias("s"))
+    blocks = _block_index(ex, ["key"], "m", cap=64, max_bucket=None)
+    sizes = blocks.select(F.size("ms").alias("s"))
     assert sizes.agg(F.max("s")).collect()[0][0] <= 64
-    # only the hot bucket is blocked; every distinct member exactly once
-    assert blocked.filter(F.col("key") == "cold").count() == 0
-    total = blocked.agg(F.sum(F.size("ms"))).collect()[0][0]
+    # the cold bucket is one block of all 10 members; the hot bucket's
+    # blocks hold every distinct member exactly once
+    cold = blocks.filter(F.col("key") == "cold").collect()
+    assert len(cold) == 1 and len(cold[0].ms) == 10
+    total = blocks.filter(F.col("key") == "hot") \
+        .agg(F.sum(F.size("ms"))).collect()[0][0]
     assert total == 1000
     # and the full expansion still emits each pair once despite the dups
     p = _capped_pairs(ex, ["key"], "m", cap=64)

@@ -148,20 +148,18 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     bucket into a single aggregation buffer and then materializes the full
     O(m^2) pair array in one projection row — a degenerate bucket
     (boilerplate docs sharing one band hash) at corpus scale is one
-    multi-million-element array in one task.  Here a window counts each
-    bucket once (the same exchange the groupBy needed anyway); buckets at
-    or under ``cap`` members take exactly the old single-aggregation path
-    (no extra shuffle — the post-window partitioning already satisfies the
-    groupBy), and oversized buckets are split into ordered blocks of at
-    most ``cap`` members.  Block pairs come from two bounded shapes: i<j
-    combinations INSIDE each block array, and a block-level self-join for
+    multi-million-element array in one task.  Here every bucket becomes
+    one or more <=``cap``-member blocks in a single aggregation pass
+    (``_block_index``: one exchange, one sort, upstream evaluated once).
+    Pairs come from two bounded shapes: i<j combinations INSIDE each block
+    array, and a block-level self-join (oversized buckets only) for
     CROSS-block pairs whose row payloads are two <=cap arrays (at most
     cap^2 pair structs per joined row).  Blocks are ranges of the global
-    member order (``dense_rank``), so every member of block p sorts before
-    every member of block q>p — cross pairs satisfy a < b by construction
-    and duplicates from hash collisions collapse inside one block's
-    ``array_distinct`` instead of straddling blocks.  Output is identical
-    to the uncapped expansion (tested); only the task-memory shape changes.
+    member order, so every member of block p sorts before every member of
+    block q>p — cross pairs satisfy a < b by construction and duplicates
+    from hash collisions collapse inside one block's ``array_distinct``
+    instead of straddling blocks.  Output is identical to the uncapped
+    expansion (tested); only the task-memory shape changes.
 
     ``max_bucket`` (optional) is the hard drop policy: buckets with more
     members than this are excluded entirely — at 10^12 docs a bucket of
@@ -171,34 +169,33 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     enabling.  Default None = exact, nothing dropped.
     """
     from pyspark import StorageLevel
-    base = _counted_members(exploded, keys, member, max_bucket)
-    small = (base.filter(F.col("__cnt") <= cap)
-             .groupBy(*keys)
-             .agg(F.array_distinct(F.collect_list("__m")).alias("ms"))
-             .filter(F.size("ms") > 1)
-             .select(*keys, F.explode(_bucket_pairs(F.col("ms"))).alias("p")))
-    blocked = _block_arrays(base, keys, cap)
-    # two consumers (within + both self-join sides): persist so the bucket
-    # index is built once; recomputable lineage (vs localCheckpoint) keeps
-    # executor loss survivable at scale.  Empty in the common no-hot-bucket
-    # case, so the persist costs nothing then.  The cache is session-scoped
+    blocks = _block_index(exploded, keys, member, cap, max_bucket)
+    # three consumers (within + both self-join sides): persist so the
+    # bucket index is built once; recomputable lineage (vs localCheckpoint)
+    # keeps executor loss survivable at scale.  The cache is session-scoped
     # with no safe unpersist point inside this function (the returned frame
     # is lazy), so each call releases the PREVIOUS call's block index —
-    # bounded storage across many calls (e.g. incremental index updates);
-    # unpersist only drops the cache, a still-live old plan just recomputes.
-    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    # bounded storage across many calls (e.g. incremental index updates).
+    # A semantically identical plan (warm benchmark reps) shares one
+    # CacheManager entry, so eviction is skipped then: unpersisting the
+    # old handle would drop the new call's cache too.
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     while _LIVE_BLOCK_CACHE:
+        prev = _LIVE_BLOCK_CACHE.pop()
         try:
-            _LIVE_BLOCK_CACHE.pop().unpersist(blocking=False)
+            if not blocks.sameSemantics(prev):
+                prev.unpersist(blocking=False)
         except Exception:
             pass   # stopped session / already released
-    _LIVE_BLOCK_CACHE.append(blocked)
-    within = blocked.select(
-        *keys, F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
-    left = blocked.select(*keys, F.col("__blk").alias("__ba"),
-                          F.col("ms").alias("__msa"))
-    right = blocked.select(*keys, F.col("__blk").alias("__bb"),
-                           F.col("ms").alias("__msb"))
+    _LIVE_BLOCK_CACHE.append(blocks)
+    within = (blocks.filter(F.size("ms") > 1)
+              .select(*keys, F.explode(_bucket_pairs(F.col("ms")))
+                      .alias("p")))
+    big = blocks.filter(F.col("__cnt") > cap)
+    left = big.select(*keys, F.col("__blk").alias("__ba"),
+                      F.col("ms").alias("__msa"))
+    right = big.select(*keys, F.col("__blk").alias("__bb"),
+                       F.col("ms").alias("__msb"))
     cross_expr = F.flatten(F.transform(
         F.col("__msa"), lambda x: F.transform(
             F.col("__msb"),
@@ -206,7 +203,7 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     cross = (left.join(right, keys)
              .filter(F.col("__ba") < F.col("__bb"))
              .select(*keys, F.explode(cross_expr).alias("p")))
-    return small.unionByName(within).unionByName(cross)
+    return within.unionByName(cross)
 
 
 def _counted_members(exploded: DataFrame, keys: list[str], member,
@@ -223,20 +220,29 @@ def _counted_members(exploded: DataFrame, keys: list[str], member,
     return base
 
 
-def _block_arrays(base: DataFrame, keys: list[str], cap: int) -> DataFrame:
-    """Oversized buckets split into sorted member blocks of <=``cap``
-    DISTINCT members: ``dense_rank`` over the member order (ties = hash-
-    collision duplicates stay in one block and collapse in its
-    ``array_distinct``), block = rank div cap.  The rank window shares the
-    count window's exchange; only oversized-bucket rows (rare) pay its
-    sort."""
+def _block_index(exploded: DataFrame, keys: list[str], member,
+                 cap: int, max_bucket: int | None) -> DataFrame:
+    """ONE block frame covering every bucket: ``(*keys, __blk, ms, __cnt)``
+    where ``ms`` holds at most ``cap`` DISTINCT sorted members.  At-or-
+    under-cap buckets are their own single block (``__blk=0``); oversized
+    buckets split into ``dense_rank`` ranges of the member order (ties =
+    hash-collision duplicates stay in one block and collapse in its
+    ``array_distinct``), block = rank div cap — every member of block p
+    sorts before every member of block q>p.  The groupBy reuses the count
+    window's hash exchange (its grouping keys are a superset of the window
+    partition keys), so the whole index is one exchange + one sort and —
+    critically — the upstream (shingle/signature) subtree is evaluated
+    ONCE: a separate small-bucket aggregation branch re-evaluates it
+    end-to-end (measured ~1.6x on the sf0.1 LSH/Jaccard headline lines)."""
+    base = _counted_members(exploded, keys, member, max_bucket)
     w = Window.partitionBy(*keys).orderBy("__m")
-    blk = ((F.dense_rank().over(w) - 1) / cap).cast("int")
-    return (base.filter(F.col("__cnt") > cap)
-            .withColumn("__blk", blk)
+    blk = F.when(F.col("__cnt") <= cap, F.lit(0)).otherwise(
+        ((F.dense_rank().over(w) - 1) / cap).cast("int"))
+    return (base.withColumn("__blk", blk)
             .groupBy(*keys, "__blk")
             .agg(F.array_sort(F.array_distinct(F.collect_list("__m")))
-                 .alias("ms")))
+                 .alias("ms"),
+                 F.any_value("__cnt").alias("__cnt")))
 
 
 def bucket_size_stats(exploded: DataFrame, keys: list[str]) -> DataFrame:
