@@ -97,21 +97,33 @@ def _grams(n: int) -> F.Column:
     return F.array_distinct(_grams_all(n))
 
 
-def _gram_hashes(n: int) -> F.Column:
-    """Distinct 64-bit hashes of the word n-grams, never materializing
-    the gram strings: one native ``xxhash64`` over the sliced word array
-    replaces per-gram ``concat_ws`` + md5/hex/substring/conv — the
-    measured hot subtree of the Jaccard index build.  Internal keys
-    only: equal grams hash equal, so pair output is identical up to
-    2^-64 collisions (a strictly better bar than the 56-bit md5 keys
-    this replaces; collisions degrade gracefully via the same
-    ``array_distinct`` bucket guard).  Same lazy ``when`` short-doc
-    guard as ``_grams_all`` — see that docstring."""
-    w = _words("text")
+def _gram_frame(docs: DataFrame, n: int, alias: str = "gr") -> DataFrame:
+    """``(doc_id, <alias>: array<bigint>)`` — distinct 64-bit hashes of
+    the word n-grams per doc, never materializing gram strings (docs with
+    fewer than n words produce no grams and are dropped).
+
+    Two projections ON PURPOSE: the word array is hashed to longs once in
+    its own select, then each gram key hashes a SLICE of that long array.
+    Hashing fixed-width longs instead of re-hashing every word string per
+    covering gram measured ~4x faster on the sf0.1 gram pass, and the
+    projection boundary keeps Catalyst's CollapseProject from inlining
+    the word-hash transform into the gram transform (it declines to
+    duplicate a non-cheap alias referenced more than once) — inlined, the
+    word hashes would be recomputed for every gram.
+
+    Internal keys only: equal grams hash equal, so pair/probe output is
+    identical up to 2^-64 collisions (which degrade gracefully via the
+    ``array_distinct`` bucket guard in ``_capped_pairs``); no oracle or
+    pin depends on the hash VALUES."""
+    d = (_spread(docs, "doc_id")
+         .filter(F.size(_words("text")) >= n)
+         .select("doc_id",
+                 F.transform(_words("text"),
+                             lambda x: F.xxhash64(x)).alias("__w64")))
+    w = F.col("__w64")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     gh = F.transform(idx, lambda i: F.xxhash64(F.slice(w, i + 1, n)))
-    return F.array_distinct(F.when(F.size(w) >= n, gh).otherwise(
-        F.array().cast("array<bigint>")))
+    return d.select("doc_id", F.array_distinct(gh).alias(alias))
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -266,18 +278,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     pairs expand inside the bucket (array combinations, no self-join — a
     self-join would evaluate the shingle subtree twice), and one final
     shuffle aggregates intersection counts per pair.  Join keys are 64-bit
-    xxhash64 longs over the sliced word arrays (``_gram_hashes``), never
+    xxhash64 longs over the sliced word arrays (``_gram_frame``), never
     shingle strings: ~3x smaller shuffle rows and no per-gram string
     materialization on the scan.  Bucket membership is bounded per task
     (``_capped_pairs``): buckets over ``bucket_cap`` members split into
     blocks, and ``max_bucket`` optionally drops degenerate stopword-gram
     buckets entirely (audit with ``bucket_size_stats`` first).
     """
-    # two-step select: materialize the gram array once, THEN size+explode it
+    # staged selects: materialize the gram array once, THEN size+explode it
     # — referencing the transform expression from both size() and explode()
     # in one projection re-evaluates it per exploded row (~5x slower)
-    sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
-          .select("doc_id", _gram_hashes(n).alias("gr"))
+    sh = (_gram_frame(docs, n)
           .select("doc_id", F.size("gr").alias("n_sh"),
                   F.explode("gr").alias("hv"))
           .select("hv", F.struct("doc_id", "n_sh").alias("m")))
@@ -323,8 +334,7 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     (tested), but both the pair-expansion shuffle and the verify join
     shrink.
     """
-    sh = (_spread(docs, "doc_id").filter(F.size(_words("text")) >= n)
-          .select("doc_id", _gram_hashes(n).alias("gr"))
+    sh = (_gram_frame(docs, n)
           .select("doc_id", F.explode("gr").alias("hv")))
     # per-doc shingle list in (df, hv) global order; the document frequency
     # comes from a count window over the single hv exchange — an
@@ -568,7 +578,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     with the benchmark set (the held-out eval data a training corpus must
     not contain).  The benchmark shingle set is small -> broadcast
     left-semi probe; the corpus is scanned once and never shuffled.
-    Both sides probe on 64-bit ``xxhash64`` gram keys (``_gram_hashes``),
+    Both sides probe on 64-bit ``xxhash64`` gram keys (``_gram_frame``),
     never materializing gram strings: the broadcast hash table holds 8-byte
     longs instead of ~n-word strings (at a 100k-gram benchmark that is the
     difference between an ~1 MB and a multi-MB table shipped to every
@@ -584,19 +594,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     exchange carries one row per doc with >=1 hit, not one per hit).
     Docs too short to produce any n-gram have no grams to overlap and
     always survive, in both modes."""
-    bench_sh = (_spread(benchmark, "doc_id")
-                .select(F.explode(_gram_hashes(n)).alias("hv")).distinct())
+    bench_sh = (_gram_frame(benchmark, n)
+                .select(F.explode("gr").alias("hv")).distinct())
     if max_overlap <= 0.0:
-        doc_sh = (_spread(docs, "doc_id")
-                  .select("doc_id", F.explode(_gram_hashes(n)).alias("hv")))
+        doc_sh = (_gram_frame(docs, n)
+                  .select("doc_id", F.explode("gr").alias("hv")))
         contaminated = (doc_sh
                         .join(F.broadcast(bench_sh), "hv", "left_semi")
                         .select("doc_id").distinct())
     else:
         # one gram-array evaluation, staged so size() and explode() share it
         # (the same re-evaluation trap as ngram_jaccard_pairs)
-        doc_sh = (_spread(docs, "doc_id")
-                  .select("doc_id", _gram_hashes(n).alias("gr"))
+        doc_sh = (_gram_frame(docs, n)
                   .select("doc_id", F.size("gr").alias("n_gr"),
                           F.explode("gr").alias("hv")))
         contaminated = (doc_sh
@@ -1396,7 +1405,7 @@ def _dedup_array_spans(base: DataFrame, n: int, min_count: int,
 
     if persist:
         base = base.persist()
-    # positional gram hashes, WITH multiplicity (unlike _gram_hashes)
+    # positional gram hashes, WITH multiplicity (unlike _gram_frame)
     idx = F.sequence(F.lit(0), F.size("w") - n)
     gh = F.when(
         F.size("w") >= n,
