@@ -60,12 +60,12 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
 
 def test_dedup_pair_queries_scan_input_once(spark):
     """The inverted-index pair generators must evaluate the shingle /
-    signature subtree once at runtime.  The capped-bucket union means the
-    STATIC plan shows the subtree per branch, but with no oversized bucket
-    AQE prunes the empty blocked branch entirely — the FINAL executed plan
-    must contain exactly one scan of the documents table and no extra
-    exchange for the pair groupBy (the count window's partitioning
-    satisfies it)."""
+    signature subtree once at runtime.  Since the single-pass block-index
+    rewrite, all pair branches (within-block union cross-block self-join)
+    read one persisted block index, so the FINAL executed plan must
+    contain exactly one scan of the documents table and no extra exchange
+    for the block groupBy (the count window's partitioning satisfies
+    it)."""
     from wotan_spark.spark.datapipe import (minhash_lsh_pairs,
                                             ngram_jaccard_pairs)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
