@@ -134,3 +134,39 @@ def test_update_incremental_is_idempotent_per_run_id(spark, tmp_path):
     # no doubled pairs from the replayed run
     assert _pairs_set(idx.candidate_pairs(spark)) == \
         _pairs_set(minhash_lsh_pairs(docs))
+
+
+def test_update_with_build_run_id_still_indexes(spark, tmp_path):
+    """Reusing build()'s default run_id for an update must still index the
+    batch: the idempotence guard matches UPDATE snapshots only, so a build
+    stamp cannot silently swallow a later batch (round-4 review)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 3 = 0")
+    b = docs.filter("doc_id % 3 != 0")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, a)                          # stamps run_id="build"
+    idx.update_incremental(spark, b, run_id="build")
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(docs))
+
+
+def test_update_retry_with_bands_already_landed(spark, tmp_path):
+    """The reverse half-done window (bands landed, pairs did not — only
+    reachable if the append order ever changes): the retry must probe the
+    PRE-update band snapshot, skip the dup check for the delta, and still
+    produce the exact pair set exactly once."""
+    from wotan_spark.spark.datapipe import minhash_bands
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 3 = 0")
+    b = docs.filter("doc_id % 3 != 0")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, a)
+    # inject the state: the bands append landed under run u9, pairs never
+    idx.bands.append(minhash_bands(b, idx.n, idx.band_size),
+                     run_id="u9", op="update", **idx._params_meta())
+    r = idx.update_incremental(spark, b, run_id="u9")
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(docs))
+    # retry after that completion stays a no-op
+    r2 = idx.update_incremental(spark, b, run_id="u9")
+    assert r2 == r

@@ -13,6 +13,8 @@ engines exactly.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -145,9 +147,14 @@ def _bucket_pairs(members: F.Column) -> F.Column:
 
 DEFAULT_BUCKET_CAP = 256
 
-# last _capped_pairs block-index cache, released on the next call (see
-# _capped_pairs: persisted frames have no in-function unpersist point)
+# recent _capped_pairs block-index caches (see _capped_pairs: persisted
+# frames have no in-function unpersist point, so storage is bounded by
+# retiring the OLDEST handles).  Keeping several live handles — not just
+# one — lets a caller build a few lazy pair plans before executing any of
+# them without the later plan evicting the earlier one's cache.
 _LIVE_BLOCK_CACHE: list = []
+_BLOCK_CACHE_LIMIT = 8
+_BLOCK_CACHE_LOCK = threading.Lock()
 
 
 def _capped_pairs(exploded: DataFrame, keys: list[str], member,
@@ -186,20 +193,26 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     # bucket index is built once; recomputable lineage (vs localCheckpoint)
     # keeps executor loss survivable at scale.  The cache is session-scoped
     # with no safe unpersist point inside this function (the returned frame
-    # is lazy), so each call releases the PREVIOUS call's block index —
-    # bounded storage across many calls (e.g. incremental index updates).
-    # A semantically identical plan (warm benchmark reps) shares one
-    # CacheManager entry, so eviction is skipped then: unpersisting the
-    # old handle would drop the new call's cache too.
+    # is lazy), so storage is bounded by retiring the oldest handles past
+    # _BLOCK_CACHE_LIMIT live indexes (e.g. a long run of incremental index
+    # updates).  A semantically identical plan (warm benchmark reps) shares
+    # ONE CacheManager entry — such calls are not re-tracked, so retiring
+    # an old handle never drops a newer identical plan's cache.
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    while _LIVE_BLOCK_CACHE:
-        prev = _LIVE_BLOCK_CACHE.pop()
+    with _BLOCK_CACHE_LOCK:
         try:
-            if not blocks.sameSemantics(prev):
-                prev.unpersist(blocking=False)
+            tracked = any(blocks.sameSemantics(prev)
+                          for prev in _LIVE_BLOCK_CACHE)
         except Exception:
-            pass   # stopped session / already released
-    _LIVE_BLOCK_CACHE.append(blocks)
+            tracked = False    # stopped session: stale handles, reset
+            _LIVE_BLOCK_CACHE.clear()
+        if not tracked:
+            _LIVE_BLOCK_CACHE.append(blocks)
+            while len(_LIVE_BLOCK_CACHE) > _BLOCK_CACHE_LIMIT:
+                try:
+                    _LIVE_BLOCK_CACHE.pop(0).unpersist(blocking=False)
+                except Exception:
+                    pass   # already released with its session
     within = (blocks.filter(F.size("ms") > 1)
               .select(*keys, F.explode(_bucket_pairs(F.col("ms")))
                       .alias("p")))

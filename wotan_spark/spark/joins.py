@@ -294,17 +294,18 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     if "__bk" in points.columns or "__bk" in intervals.columns:
         raise ValueError("column name '__bk' is reserved")
 
+    explicit_factor = (isinstance(long_factor, (int, float))
+                       and not isinstance(long_factor, bool))
     if isinstance(long_factor, str):
         if long_factor != "auto":
             raise ValueError(f"unknown long_factor {long_factor!r}")
-    elif long_factor is not None and (isinstance(long_factor, bool)
+    elif long_factor is not None and (not explicit_factor
                                       or long_factor < 1):
-        raise ValueError("long_factor must be a positive int, 'auto', "
+        raise ValueError("long_factor must be a number >= 1, 'auto', "
                          "or None")
-    split = (isinstance(long_factor, int) and
-             not isinstance(long_factor, bool)) or \
-        (long_factor == "auto" and bucket_width is None)
-    factor = long_factor if isinstance(long_factor, int) else 64
+    split = explicit_factor or (long_factor == "auto"
+                                and bucket_width is None)
+    factor = long_factor if explicit_factor else 64
     med = mx = None
 
     integral = {"integer", "long", "short", "byte"}

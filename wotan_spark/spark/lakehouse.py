@@ -330,15 +330,19 @@ class SnapshotTable:
             pass
         try:
             import pyarrow.parquet as pq
+            from pyarrow.lib import ArrowException
+        except ImportError:
+            return None
+        try:
             fn = next(f for f in sorted(os.listdir(d))
                       if f.endswith(".parquet"))
             return tuple((fld.name, str(fld.type))
                          for fld in pq.read_schema(os.path.join(d, fn)))
-        except Exception:
-            # OSError, StopIteration, or a corrupt footer (pyarrow
-            # ArrowInvalid etc.) must all degrade to the documented
-            # None = "undeterminable, conservative full rewrite",
-            # never escape and block the merge
+        except (OSError, StopIteration, ArrowException):
+            # a missing dir or a corrupt footer degrades to the documented
+            # None = "undeterminable, conservative full rewrite"; anything
+            # else (programming errors) must escape, not silently turn
+            # every merge into a full-table rewrite
             return None
 
     def append(self, df: DataFrame, **meta) -> int:

@@ -67,10 +67,10 @@ class NearDupIndex:
               run_id: str = "build") -> dict:
         """Cold full build: band frame + initial candidate pairs."""
         bands = minhash_bands(docs, self.n, self.band_size)
-        b_sid = self.bands.overwrite(bands, run_id=run_id,
+        b_sid = self.bands.overwrite(bands, run_id=run_id, op="build",
                                      **self._params_meta())
         pairs = self._pairs_within(self.bands.read(spark))
-        p_sid = self.pairs.overwrite(pairs, run_id=run_id,
+        p_sid = self.pairs.overwrite(pairs, run_id=run_id, op="build",
                                      **self._params_meta())
         return {"bands_snapshot": b_sid, "pairs_snapshot": p_sid}
 
@@ -89,14 +89,16 @@ class NearDupIndex:
         from disk and updates still run).
 
         ``run_id`` must be UNIQUE per batch — it is the idempotence key:
-        each table's append is skipped when a snapshot stamped with this
-        run_id already exists, so a retry after a crash between the two
-        appends completes the half-done update instead of double-appending
-        pairs, and a retry after full success is a no-op."""
+        each table's append is skipped when an UPDATE snapshot stamped
+        with this run_id already exists (build snapshots never match, so
+        reusing the build's run id cannot silently drop a batch), so a
+        retry after a crash between the two appends completes the
+        half-done update instead of double-appending pairs, and a retry
+        after full success is a no-op."""
         from pyspark import StorageLevel
         self._check_params()
-        done_p = self.pairs.find_snapshot(run_id=run_id)
-        done_b = self.bands.find_snapshot(run_id=run_id)
+        done_p = self.pairs.find_snapshot(run_id=run_id, op="update")
+        done_b = self.bands.find_snapshot(run_id=run_id, op="update")
         if done_p is not None and done_b is not None:
             return self._update_result(done_b["snapshot_id"],
                                        done_p["snapshot_id"])
@@ -144,9 +146,11 @@ class NearDupIndex:
             # the other, never appending the same rows twice
             p_sid = (done_p["snapshot_id"] if done_p is not None
                      else self.pairs.append(new_pairs, run_id=run_id,
+                                            op="update",
                                             **self._params_meta()))
             b_sid = (done_b["snapshot_id"] if done_b is not None
                      else self.bands.append(delta, run_id=run_id,
+                                            op="update",
                                             **self._params_meta()))
         finally:
             delta.unpersist()

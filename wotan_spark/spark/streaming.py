@@ -84,12 +84,16 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
                    tolerance_buckets: int | None = 3):
     """Streaming point-in-time enrichment: each micro-batch of raw points
     is as-of joined against the LATEST tier-10 snapshot — every point gets
-    the mean of its doc's freshest COMPLETED bucket — and key-merged on
-    (doc_id, t) into an output table stamped with the tier snapshot it
-    read.  Points are assumed unique per (doc_id, t); the merge makes the
-    sink idempotent under both at-least-once replay and checkpoint
-    rebuilds (a batch-id guard cannot: rebuilt checkpoints renumber
-    batches, so an id match can mask never-processed files).
+    the mean of its doc's freshest COMPLETED bucket — and INSERT-ONLY
+    appended (anti-joined on committed (doc_id, t) keys first) to an
+    output table stamped with the tier snapshot it read.  Points are
+    assumed unique per (doc_id, t); insert-only makes the sink idempotent
+    in both keys AND values under at-least-once replay and checkpoint
+    rebuilds — replayed rows keep the enrichment they were committed
+    with, new rows are enriched against the current tier.  (A batch-id
+    guard cannot give this: rebuilt checkpoints renumber batches, so an
+    id match can mask never-processed files; a key-MERGE would rewrite
+    committed values against whatever tier is current at replay.)
 
     This is the consumption side of the continuous-aggregate loop: the
     ingestion sink keeps the tier table moving, and because ``foreachBatch``
@@ -117,11 +121,13 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
         # within one checkpoint lineage: a batch-id guard would silently
         # DROP new data after a checkpoint rebuild (batch 0 then contains
         # old+new files but matches the old snapshot's stamp).  Replay
-        # safety comes from content idempotence instead — the write is a
-        # key-merge on (doc_id, t), run_ingestion's discipline: a replayed
-        # batch upserts the same keys, a rebuilt-checkpoint batch upserts
-        # the old keys and inserts the new ones, nothing is lost or
-        # duplicated either way.
+        # safety comes from content idempotence instead: points already
+        # committed (by doc_id, t key) are anti-joined away and only the
+        # remainder is appended — INSERT-ONLY, so a replayed or rebuilt
+        # batch neither duplicates rows NOR rewrites committed enrichment
+        # values against whatever tier snapshot happens to be current at
+        # replay time (a key-MERGE would).  At scale, prune the committed
+        # side by the batch's (doc_id, t) range before the anti-join.
         # resolve HEAD once and read THAT snapshot: a concurrent ingestion
         # commit between the two calls would otherwise desynchronize the
         # recorded tier_snapshot stamp from the data actually joined
@@ -139,9 +145,16 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
             enriched = asof_join(batch_df, right, on="doc_id",
                                  left_time="t", right_time="t_end",
                                  tolerance=tol)
-        out_table.merge_buckets(batch_df.sparkSession, enriched,
-                                keys=["doc_id", "t"],
-                                stream_batch=batch_id, tier_snapshot=sid)
+        spark_b = batch_df.sparkSession
+        out_head = out_table.current_snapshot_id()
+        if out_head is not None:
+            committed = out_table.read(spark_b, snapshot_id=out_head) \
+                .select("doc_id", "t")
+            enriched = enriched.join(committed, ["doc_id", "t"],
+                                     "left_anti")
+        if not enriched.isEmpty():
+            out_table.append(enriched, stream_batch=batch_id,
+                             tier_snapshot=sid)
 
     q = (stream.writeStream
          .foreachBatch(sink)
