@@ -226,3 +226,19 @@ def test_distinct_tier_partially_aggregates_before_exchange(spark, tmp_path):
     pre_exchange = plan.split("Exchange")[-1]          # subtree BELOW it
     assert "partial_hll_sketch_agg" in pre_exchange, \
         f"map-side partial sketch aggregation missing below exchange:\n{plan}"
+
+
+def test_lazy_pair_plans_keep_their_caches(spark):
+    """Building a SECOND pair plan before executing the first must not
+    evict the first plan's block-index cache (round-4 review): both plans
+    still scan their input exactly once at execution."""
+    from wotan_spark.spark.datapipe import (minhash_lsh_pairs,
+                                            ngram_jaccard_pairs)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = minhash_lsh_pairs(docs)
+    b = ngram_jaccard_pairs(docs)     # built while `a` is still lazy
+    for df in (a, b):
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        n_scans = final.count("FileScan parquet")
+        assert n_scans == 1, f"expected 1 scan, found {n_scans}"
