@@ -467,9 +467,17 @@ def test_interval_join_auto_falls_back_past_broadcast_budget(spark):
     with pytest.raises(ValueError, match="long_broadcast_max"):
         interval_join(pts, ivs, on="k", point_col="t", start_col="s",
                       end_col="e", long_factor=64, long_broadcast_max=2)
+    # a float factor ENGAGES the split (strict mode) — it must not pass
+    # validation yet silently disable it
+    with pytest.raises(ValueError, match="long_broadcast_max"):
+        interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                      end_col="e", long_factor=64.0, long_broadcast_max=2)
     with pytest.raises(ValueError, match="long_factor"):
         interval_join(pts, ivs, on="k", point_col="t", start_col="s",
                       end_col="e", long_factor="bogus")
+    with pytest.raises(ValueError, match="long_factor"):
+        interval_join(pts, ivs, on="k", point_col="t", start_col="s",
+                      end_col="e", long_factor=0.5)
 
 
 def test_asof_join_bucketed_mixed_time_types(spark):
