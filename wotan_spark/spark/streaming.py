@@ -126,8 +126,11 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
         # remainder is appended — INSERT-ONLY, so a replayed or rebuilt
         # batch neither duplicates rows NOR rewrites committed enrichment
         # values against whatever tier snapshot happens to be current at
-        # replay time (a key-MERGE would).  At scale, prune the committed
-        # side by the batch's (doc_id, t) range before the anti-join.
+        # replay time (a key-MERGE would).  The committed side is pruned
+        # to the batch's [min t, max t] range first (one tiny eager agg
+        # over the batch), so the dedup probe scans the touched slice of
+        # the output table — parquet min/max stats skip the rest — not
+        # its whole history per micro-batch.
         # resolve HEAD once and read THAT snapshot: a concurrent ingestion
         # commit between the two calls would otherwise desynchronize the
         # recorded tier_snapshot stamp from the data actually joined
@@ -148,8 +151,12 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
         spark_b = batch_df.sparkSession
         out_head = out_table.current_snapshot_id()
         if out_head is not None:
-            committed = out_table.read(spark_b, snapshot_id=out_head) \
-                .select("doc_id", "t")
+            lo, hi = batch_df.agg(F.min("t"), F.max("t")).first()
+            if lo is None:
+                return                     # empty batch: nothing to insert
+            committed = (out_table.read(spark_b, snapshot_id=out_head)
+                         .filter(F.col("t").between(F.lit(lo), F.lit(hi)))
+                         .select("doc_id", "t"))
             enriched = enriched.join(committed, ["doc_id", "t"],
                                      "left_anti")
         if not enriched.isEmpty():
