@@ -154,8 +154,13 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
             lo, hi = batch_df.agg(F.min("t"), F.max("t")).first()
             if lo is None:
                 return                     # empty batch: nothing to insert
-            committed = (out_table.read(spark_b, snapshot_id=out_head)
-                         .filter(F.col("t").between(F.lit(lo), F.lit(hi)))
+            # read(where=...) prunes whole data files DRIVER-SIDE from the
+            # manifest's per-file min/max stats (and applies the residual
+            # between() itself) — files outside the batch range are never
+            # listed or opened, unlike a post-read .filter() which still
+            # touches every footer in the table's history
+            committed = (out_table.read(spark_b, snapshot_id=out_head,
+                                        where=("t", lo, hi))
                          .select("doc_id", "t"))
             enriched = enriched.join(committed, ["doc_id", "t"],
                                      "left_anti")
