@@ -170,3 +170,37 @@ def test_update_retry_with_bands_already_landed(spark, tmp_path):
     # retry after that completion stays a no-op
     r2 = idx.update_incremental(spark, b, run_id="u9")
     assert r2 == r
+
+
+def test_verify_jaccard_pairs_exact_on_true_candidates(spark):
+    """Feeding verify_jaccard_pairs the exact pair set as candidates must
+    reproduce ngram_jaccard_pairs bit-for-bit (pairs AND jaccard values):
+    verification is exact, candidates only bound recall."""
+    from wotan_spark.spark.datapipe import (ngram_jaccard_pairs,
+                                            verify_jaccard_pairs)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, threshold=0.4)
+    got = verify_jaccard_pairs(docs, exact.select("doc_a", "doc_b"),
+                               n=3, threshold=0.4)
+    want = {(r.doc_a, r.doc_b, round(r.jaccard, 12)) for r in exact.collect()}
+    assert {(r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in got.collect()} == want
+    assert want, "fixture should produce pairs"
+
+
+def test_curate_corpus_with_maintained_index(spark, tmp_path):
+    """The funnel's LSH->verify warm path: kept docs are a SUPERSET of the
+    exact funnel's (LSH bounds recall), every doc it removes is removed by
+    the exact funnel too (verification is exact), and the funnel report
+    stays coherent."""
+    from wotan_spark.spark.datapipe import curate_corpus
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, docs)
+    kept_exact, _ = curate_corpus(docs, min_tokens=5)
+    kept_idx, funnel = curate_corpus(docs, min_tokens=5, neardup_index=idx)
+    ke = {r.doc_id for r in kept_exact.collect()}
+    ki = {r.doc_id for r in kept_idx.collect()}
+    assert ke <= ki, "indexed funnel must never remove a non-near-dup"
+    rows = {r.stage: r.n_docs for r in funnel.collect()}
+    assert rows["near_dup"] == len(ki)

@@ -998,12 +998,44 @@ def cosine_topk_ivf(emb: DataFrame, query_ids: list[int], k: int = 3,
 
 
 
+def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard verification of CANDIDATE pairs — the verify
+    half of the LSH->verify flow: ``(doc_a, doc_b, jaccard)`` for exactly
+    the candidates whose true Jaccard clears ``threshold``.
+
+    Gram arrays are computed only for docs that appear in some candidate
+    pair (semi-join first), so the cost is O(candidate docs) gram work
+    plus one equi-join per pair side — never a corpus-wide shingle pass
+    and never a self-join.  This is what makes a maintained LSH index
+    (``neardup_index.NearDupIndex``) usable as the pair source in the
+    curation funnel: the index bounds RECALL (pairs LSH never bucketed
+    together are not checked), verification makes everything it emits
+    exact.  Docs too short to produce any n-gram verify to jaccard 0 and
+    are dropped (threshold > 0 semantics)."""
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    g = (_gram_frame(docs.join(ids, "doc_id", "left_semi"), n)
+         .select("doc_id", "gr", F.size("gr").alias("n_sh")))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("gr").alias("g_a"),
+                 F.col("n_sh").alias("n_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("gr").alias("g_b"),
+                 F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    (inter / (F.col("n_a") + F.col("n_b") - inter))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
                   min_tokens: int = 50, jaccard_n: int = 3,
                   jaccard_threshold: float = 0.5,
                   fractions: dict[str, float] | None = None,
                   sample_default: float = 0.0, seed: int = 17,
-                  persist: bool = True):
+                  persist: bool = True, neardup_index=None):
     """One-call training-corpus curation funnel, composed from the
     first-class operators in cost order (cheapest cuts first, so each
     expensive stage sees an already-reduced corpus):
@@ -1014,6 +1046,16 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
               -> near-dup removal (PPJoin Jaccard pairs -> components,
                  component representative kept)
               -> stratified sample (deterministic hash mixture weights)
+
+    ``neardup_index`` (a built ``neardup_index.NearDupIndex`` over this
+    corpus) switches the near-dup stage to the LSH->verify warm path: the
+    maintained index supplies candidate pairs (no corpus-wide shingle
+    pass per funnel run — the measured cold-index cost disappears) and
+    ``verify_jaccard_pairs`` makes every removal exact at the same
+    threshold.  Recall is then bounded by LSH (a pair the bands never
+    bucketed together is not checked), so the indexed funnel keeps a
+    SUPERSET of the exact funnel's docs — every doc it removes is a true
+    near-dup, tested.
 
     Returns ``(kept, funnel)``: the surviving docs DataFrame and a small
     (stage_idx, stage, n_docs) funnel report, computed EAGERLY so the
@@ -1048,8 +1090,18 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame | None = None,
         cur = _cut(cur.join(clean_ids, "doc_id", "left_semi"))
         stages.append(("decontaminate", cur))
 
-    pairs = ngram_jaccard_pairs_prefix(cur, n=jaccard_n,
-                                       threshold=jaccard_threshold)
+    if neardup_index is not None:
+        ids = cur.select("doc_id")
+        cand = (neardup_index.candidate_pairs(docs.sparkSession)
+                .join(ids.withColumnRenamed("doc_id", "doc_a"),
+                      "doc_a", "left_semi")
+                .join(ids.withColumnRenamed("doc_id", "doc_b"),
+                      "doc_b", "left_semi"))
+        pairs = verify_jaccard_pairs(cur, cand, n=jaccard_n,
+                                     threshold=jaccard_threshold)
+    else:
+        pairs = ngram_jaccard_pairs_prefix(cur, n=jaccard_n,
+                                           threshold=jaccard_threshold)
     removed = (dedup_components(pairs)
                .filter(F.col("doc_id") != F.col("component"))
                .select("doc_id"))
