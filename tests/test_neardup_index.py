@@ -204,3 +204,74 @@ def test_curate_corpus_with_maintained_index(spark, tmp_path):
     assert ke <= ki, "indexed funnel must never remove a non-near-dup"
     rows = {r.stage: r.n_docs for r in funnel.collect()}
     assert rows["near_dup"] == len(ki)
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _cand_set(df):
+    return {(r.vec_id_a, r.vec_id_b, r.n_tables) for r in df.collect()}
+
+
+def _oneshot_embedding_candidates(emb):
+    """The one-shot construction the maintained index must reproduce."""
+    import pyspark.sql.functions as F
+
+    from wotan_spark.spark.datapipe import _capped_pairs, lsh_buckets
+    return (_capped_pairs(lsh_buckets(emb, n_planes=4, n_tables=8, seed=7),
+                          ["table_id", "bucket"], "vec_id")
+            .groupBy(F.col("p.a").alias("vec_id_a"),
+                     F.col("p.b").alias("vec_id_b"))
+            .agg(F.countDistinct("table_id").alias("n_tables")))
+
+
+def test_embedding_index_incremental_equals_oneshot(spark, tmp_path):
+    """build(A) + update(B) must yield exactly the one-shot hyperplane
+    candidate set over A+B (signatures are corpus-independent: seeded
+    hyperplanes are identical across build and updates)."""
+    from wotan_spark.spark.neardup_index import EmbeddingNearDupIndex
+    emb = _emb(spark)
+    a = emb.filter("vec_id % 2 = 0")
+    b = emb.filter("vec_id % 2 = 1")
+    idx = EmbeddingNearDupIndex(str(tmp_path / "end"))
+    idx.build(spark, a)
+    assert _cand_set(idx.candidate_pairs(spark)) == \
+        _cand_set(_oneshot_embedding_candidates(a))
+    r = idx.update_incremental(spark, b, run_id="u1")
+    assert _cand_set(idx.candidate_pairs(spark)) == \
+        _cand_set(_oneshot_embedding_candidates(emb))
+    assert r["delta_bucket_rows"] == 8 * b.count()   # one row per table
+    # idempotent retry
+    assert idx.update_incremental(spark, b, run_id="u1") == r
+
+
+def test_embedding_index_scored_pairs_match_lsh_operator(spark, tmp_path):
+    """scored_pairs == embedding_near_dup_pairs(method='lsh') bit-for-bit
+    (same planes/tables/seed -> same candidates; verification exact)."""
+    from wotan_spark.spark.datapipe import embedding_near_dup_pairs
+    from wotan_spark.spark.neardup_index import EmbeddingNearDupIndex
+    emb = _emb(spark)
+    idx = EmbeddingNearDupIndex(str(tmp_path / "end"))
+    idx.build(spark, emb)
+    got = {(r.vec_id_a, r.vec_id_b, r.cos_sim)
+           for r in idx.scored_pairs(spark, emb, threshold=0.3).collect()}
+    want = {(r.vec_id_a, r.vec_id_b, r.cos_sim)
+            for r in embedding_near_dup_pairs(emb, threshold=0.3,
+                                              method="lsh").collect()}
+    assert got == want
+    assert want, "fixture should produce scored pairs"
+
+
+def test_embedding_index_param_guard(spark, tmp_path):
+    from wotan_spark.spark.neardup_index import EmbeddingNearDupIndex
+    emb = _emb(spark)
+    idx = EmbeddingNearDupIndex(str(tmp_path / "end"), n_tables=8)
+    idx.build(spark, emb.filter("vec_id < 50"))
+    other = EmbeddingNearDupIndex(str(tmp_path / "end"), n_tables=4)
+    with pytest.raises(ValueError, match="built with"):
+        other.update_incremental(spark, emb.filter("vec_id >= 50"),
+                                 run_id="u")
+    with pytest.raises(ValueError, match="append-only"):
+        idx.update_incremental(spark, emb.filter("vec_id < 10"),
+                               run_id="u2")

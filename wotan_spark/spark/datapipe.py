@@ -795,32 +795,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.3,
                 .select(F.col("p.a").alias("vec_id_a"),
                         F.col("p.b").alias("vec_id_b"))
                 .distinct())
-        a = emb.select(F.col("vec_id").alias("vec_id_a"),
-                       F.col("embedding").alias("ea"))
-        b = emb.select(F.col("vec_id").alias("vec_id_b"),
-                       F.col("embedding").alias("eb"))
-        pairs = cand.join(a, "vec_id_a").join(b, "vec_id_b")
-
-        def score_pairs(batches: Iterator[pd.DataFrame]) \
-                -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                A = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf["ea"]])
-                B = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf["eb"]])
-                sims = np.einsum("ij,ij->i", A, B) / (
-                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-                keep = sims >= threshold
-                sims = np.sign(sims) * np.floor(np.abs(sims) * scale
-                                                + 0.5) / scale
-                yield pd.DataFrame({
-                    "vec_id_a": pdf["vec_id_a"][keep],
-                    "vec_id_b": pdf["vec_id_b"][keep],
-                    "cos_sim": sims[keep]})
-
-        return pairs.mapInPandas(score_pairs, schema=out_schema)
+        return verify_cosine_pairs(emb, cand, threshold=threshold,
+                                   round_to=round_to)
 
     vpdf = emb.select("vec_id", "embedding").toPandas()
     V = np.stack([np.asarray(v, dtype=np.float64) for v in vpdf["embedding"]])
@@ -845,6 +821,59 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.3,
                                 "vec_id_b": vids[jj], "cos_sim": s})
 
     return emb.mapInPandas(score_all, schema=out_schema)
+
+
+def verify_cosine_pairs(emb: DataFrame, pairs: DataFrame,
+                        threshold: float = 0.3,
+                        round_to: int = 5) -> DataFrame:
+    """Exact cosine verification of CANDIDATE pairs — the verify half of
+    the embedding LSH->verify flow: ``(vec_id_a, vec_id_b, cos_sim)`` for
+    exactly the candidates whose true cosine clears ``threshold``.
+
+    Embeddings are fetched per pair side via equi-joins (never a corpus
+    self-join or a driver collect); the similarity is a vectorized Arrow
+    pass over the joined rows.  Candidates only bound RECALL — every pair
+    returned is exact (the cosine-vs-``embedding_near_dup_pairs`` parity
+    is tested)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("vec_id_a", LongType(), False),
+        StructField("vec_id_b", LongType(), False),
+        StructField("cos_sim", DoubleType(), False),
+    ])
+    scale = float(10 ** round_to)
+    a = emb.select(F.col("vec_id").alias("vec_id_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"),
+                   F.col("embedding").alias("eb"))
+    joined = (pairs.select("vec_id_a", "vec_id_b")
+              .join(a, "vec_id_a").join(b, "vec_id_b"))
+
+    def score_pairs(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["ea"]])
+            B = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["eb"]])
+            sims = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+            keep = sims >= threshold
+            sims = np.sign(sims) * np.floor(np.abs(sims) * scale
+                                            + 0.5) / scale
+            yield pd.DataFrame({
+                "vec_id_a": pdf["vec_id_a"][keep],
+                "vec_id_b": pdf["vec_id_b"][keep],
+                "cos_sim": sims[keep]})
+
+    return joined.mapInPandas(score_pairs, schema=out_schema)
 
 
 def lsh_buckets(emb: DataFrame, n_planes: int = 8, n_tables: int = 2,
