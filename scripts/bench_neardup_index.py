@@ -28,46 +28,64 @@ if REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FRAC = float(os.environ.get("WOTAN_NDX_FRAC", "0.1"))
+# "minhash" (documents table) or "embedding" (embeddings table)
+KIND = os.environ.get("WOTAN_NDX_KIND", "minhash")
 
 
 def main() -> None:
     import shutil
     import tempfile
 
-    from wotan_spark.spark.datapipe import minhash_lsh_pairs
-    from wotan_spark.spark.neardup_index import NearDupIndex
+    from wotan_spark.spark.datapipe import (embedding_near_dup_pairs,
+                                            minhash_lsh_pairs)
+    from wotan_spark.spark.neardup_index import (EmbeddingNearDupIndex,
+                                                 NearDupIndex)
     from wotan_spark.spark.session import get_spark
 
     load0 = os.getloadavg()
     spark = get_spark(app_name="bench-neardup-index",
                       cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if KIND == "embedding":
+        docs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        id_col = "vec_id"
+    else:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        id_col = "doc_id"
     n_docs = docs.count()
     mod = max(2, int(round(1.0 / FRAC)))
-    base = docs.filter(f"doc_id % {mod} != 0")
-    delta = docs.filter(f"doc_id % {mod} = 0")
+    base = docs.filter(f"{id_col} % {mod} != 0")
+    delta = docs.filter(f"{id_col} % {mod} = 0")
     n_delta = delta.count()
 
     t0 = time.perf_counter()
-    n_pairs_full = minhash_lsh_pairs(docs).count()
+    if KIND == "embedding":
+        n_pairs_full = embedding_near_dup_pairs(docs, method="lsh").count()
+    else:
+        n_pairs_full = minhash_lsh_pairs(docs).count()
     full_s = time.perf_counter() - t0
 
     root = tempfile.mkdtemp(prefix="ndx-bench-")
     try:
-        idx = NearDupIndex(root)
+        idx = (EmbeddingNearDupIndex(root) if KIND == "embedding"
+               else NearDupIndex(root))
         t0 = time.perf_counter()
         idx.build(spark, base)
         cold_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         r = idx.update_incremental(spark, delta, run_id="bench-delta")
         warm_s = time.perf_counter() - t0
-        n_pairs_idx = idx.candidate_pairs(spark).count()
+        # like-for-like with the one-shot operator: embedding mode scores
+        # (exact rerank) the maintained candidates
+        n_pairs_idx = (idx.scored_pairs(spark, docs).count()
+                       if KIND == "embedding"
+                       else idx.candidate_pairs(spark).count())
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
     print(json.dumps({
         "metric": "neardup index warm-path cost vs full recompute",
+        "kind": KIND,
         "sf_dir": SF_DIR, "n_docs": n_docs, "n_delta": n_delta,
         "full_recompute_s": round(full_s, 3),
         "cold_build_s": round(cold_s, 3),
