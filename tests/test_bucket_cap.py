@@ -110,3 +110,28 @@ def test_bucket_size_stats_audit(spark):
         "key string, m int")
     stats = bucket_size_stats(ex, ["key"]).collect()
     assert [(r.key, r.n_members) for r in stats] == [("a", 5), ("b", 2)]
+
+
+def test_block_cache_lru_refresh_and_release(spark):
+    """Cache lifecycle (round-4 ADVICE): a semantically identical re-issued
+    plan refreshes its tracked handle's LRU position (so 8 distinct newer
+    indexes can't evict the shared CacheManager entry out from under it),
+    and clear_block_caches() releases every live handle."""
+    import wotan_spark.spark.datapipe as dp
+    from wotan_spark.spark.datapipe import clear_block_caches
+
+    clear_block_caches()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # first plan, then a stack of distinct plans to fill the LRU behind it
+    minhash_lsh_pairs(docs, bucket_cap=3)
+    first = dp._LIVE_BLOCK_CACHE[0]
+    for cap in (4, 5, 6):
+        minhash_lsh_pairs(docs, bucket_cap=cap)
+    assert len(dp._LIVE_BLOCK_CACHE) == 4
+    # re-issue the first plan: no duplicate entry, handle moves to the end
+    minhash_lsh_pairs(docs, bucket_cap=3)
+    assert len(dp._LIVE_BLOCK_CACHE) == 4
+    assert dp._LIVE_BLOCK_CACHE[-1] is first
+    released = clear_block_caches()
+    assert released == 4
+    assert dp._LIVE_BLOCK_CACHE == []

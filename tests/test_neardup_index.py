@@ -136,6 +136,36 @@ def test_update_incremental_is_idempotent_per_run_id(spark, tmp_path):
         _pairs_set(minhash_lsh_pairs(docs))
 
 
+def test_half_done_retry_with_different_content_raises(spark, tmp_path):
+    """run_id idempotence assumes the retry replays the SAME batch: after
+    a crash between the pairs append and the bands append, a retry under
+    the same run_id with DIFFERENT delta content must raise (the stamped
+    delta fingerprint mismatches) instead of appending bands inconsistent
+    with the committed pairs."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.filter("doc_id % 3 = 0")
+    b = docs.filter("doc_id % 3 = 1")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, a)
+    orig_append = idx.bands.append
+
+    def boom(df, **meta):
+        raise RuntimeError("simulated crash before bands append")
+
+    idx.bands.append = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.update_incremental(spark, b, run_id="u7")
+    idx.bands.append = orig_append
+    # retry with a different batch under the stamped run_id: refused
+    c = docs.filter("doc_id % 3 = 2")
+    with pytest.raises(ValueError, match="fingerprint"):
+        idx.update_incremental(spark, c, run_id="u7")
+    # the honest retry (same content) still completes the half-done update
+    idx.update_incremental(spark, b, run_id="u7")
+    assert _pairs_set(idx.candidate_pairs(spark)) == \
+        _pairs_set(minhash_lsh_pairs(docs.filter("doc_id % 3 != 2")))
+
+
 def test_update_with_build_run_id_still_indexes(spark, tmp_path):
     """Reusing build()'s default run_id for an update must still index the
     batch: the idempotence guard matches UPDATE snapshots only, so a build

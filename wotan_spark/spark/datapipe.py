@@ -157,6 +157,28 @@ _BLOCK_CACHE_LIMIT = 8
 _BLOCK_CACHE_LOCK = threading.Lock()
 
 
+def clear_block_caches() -> int:
+    """Explicitly release every live ``_capped_pairs`` block-index cache.
+
+    At corpus scale one block index is itself corpus-sized; long-lived
+    sessions issuing a sequence of large one-shot pair calls would
+    otherwise pin up to ``_BLOCK_CACHE_LIMIT`` of them (disk spill) until
+    newer calls evict them.  Call this once the returned pair frames have
+    been fully consumed.  Returns the number of handles released.
+    Lineage is recomputable, so a subsequently re-executed identical plan
+    is correct — just cold.
+    """
+    with _BLOCK_CACHE_LOCK:
+        n = len(_LIVE_BLOCK_CACHE)
+        for handle in _LIVE_BLOCK_CACHE:
+            try:
+                handle.unpersist(blocking=False)
+            except Exception:
+                pass   # already released with its session
+        _LIVE_BLOCK_CACHE.clear()
+    return n
+
+
 def _capped_pairs(exploded: DataFrame, keys: list[str], member,
                   cap: int = DEFAULT_BUCKET_CAP,
                   max_bucket: int | None = None) -> DataFrame:
@@ -196,17 +218,21 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     # is lazy), so storage is bounded by retiring the oldest handles past
     # _BLOCK_CACHE_LIMIT live indexes (e.g. a long run of incremental index
     # updates).  A semantically identical plan (warm benchmark reps) shares
-    # ONE CacheManager entry — such calls are not re-tracked, so retiring
-    # an old handle never drops a newer identical plan's cache.
+    # ONE CacheManager entry — such calls refresh the tracked handle's LRU
+    # position (move-to-end) instead of adding a duplicate, so a re-issued
+    # plan counts as recent use and eviction of 8 OTHER distinct indexes
+    # can't drop the shared cache out from under a pending identical plan.
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     with _BLOCK_CACHE_LOCK:
         try:
-            tracked = any(blocks.sameSemantics(prev)
-                          for prev in _LIVE_BLOCK_CACHE)
+            hit = next((i for i, prev in enumerate(_LIVE_BLOCK_CACHE)
+                        if blocks.sameSemantics(prev)), None)
         except Exception:
-            tracked = False    # stopped session: stale handles, reset
+            hit = None         # stopped session: stale handles, reset
             _LIVE_BLOCK_CACHE.clear()
-        if not tracked:
+        if hit is not None:
+            _LIVE_BLOCK_CACHE.append(_LIVE_BLOCK_CACHE.pop(hit))
+        else:
             _LIVE_BLOCK_CACHE.append(blocks)
             while len(_LIVE_BLOCK_CACHE) > _BLOCK_CACHE_LIMIT:
                 try:

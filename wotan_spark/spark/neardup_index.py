@@ -106,7 +106,15 @@ class _PairIndexBase:
         reusing the build's run id cannot silently drop a batch), so a
         retry after a crash between the two appends completes the
         half-done update instead of double-appending pairs, and a retry
-        after full success is a no-op."""
+        after full success is a no-op.
+
+        Idempotence assumes the retry replays the SAME batch content: each
+        append is stamped with a fingerprint of the delta's signature rows
+        (count + order-independent hash), and a half-done retry verifies
+        the recomputed delta against the landed append's stamp — a retry
+        under the same run_id with different content would otherwise
+        append signatures inconsistent with the already-committed pairs,
+        silently corrupting the pairs/signature parity invariant."""
         from pyspark import StorageLevel
         self._check_params()
         done_p = self.pairs.find_snapshot(run_id=run_id, op="update")
@@ -117,6 +125,20 @@ class _PairIndexBase:
         delta = self._signatures(new_items) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            fp = self._delta_fingerprint(delta)
+            for landed, table in ((done_p, "pairs"),
+                                  (done_s, "signatures")):
+                if landed is None:
+                    continue
+                stamped = {k: landed.get("meta", {}).get(k) for k in fp}
+                if all(v is None for v in stamped.values()):
+                    continue   # pre-fingerprint snapshot: nothing to check
+                if stamped != fp:
+                    raise ValueError(
+                        f"retry of run_id={run_id!r} recomputed a delta "
+                        f"with fingerprint {fp} but the landed {table} "
+                        f"append was stamped {stamped} — a half-done "
+                        "retry must replay the identical batch content")
             # the probe side is the index as of BEFORE this run: on a
             # retry whose signature append already landed, reading HEAD
             # would double-generate the delta's pairs (and trip the dup
@@ -160,15 +182,29 @@ class _PairIndexBase:
             # the other, never appending the same rows twice
             p_sid = (done_p["snapshot_id"] if done_p is not None
                      else self.pairs.append(new_pairs, run_id=run_id,
-                                            op="update",
+                                            op="update", **fp,
                                             **self._params_meta()))
             s_sid = (done_s["snapshot_id"] if done_s is not None
                      else self.sig_table.append(delta, run_id=run_id,
-                                                op="update",
+                                                op="update", **fp,
                                                 **self._params_meta()))
         finally:
             delta.unpersist()
         return self._update_result(s_sid, p_sid)
+
+    def _delta_fingerprint(self, delta: DataFrame) -> dict:
+        """Order-independent content fingerprint of the delta's signature
+        rows (row count + summed per-row hash), stamped into both appends
+        so a half-done retry can prove it is replaying the same batch."""
+        # sum in decimal(38,0): a long sum of xxhash64 values overflows
+        # under ANSI mode on even small deltas
+        row = delta.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64(*delta.columns)
+                  .cast("decimal(38,0)")).alias("h")).first()
+        return {"delta_fp_rows": int(row["c"]),
+                "delta_fp_hash": str(row["h"]) if row["h"] is not None
+                else "0"}
 
     def _update_result(self, s_sid: int, p_sid: int) -> dict:
         def last_dir_rows(table: SnapshotTable, sid: int) -> int:

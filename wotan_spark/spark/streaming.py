@@ -164,9 +164,17 @@ def run_enrichment(spark: SparkSession, landing_dir: str, tier_root: str,
                          .select("doc_id", "t"))
             enriched = enriched.join(committed, ["doc_id", "t"],
                                      "left_anti")
-        if not enriched.isEmpty():
-            out_table.append(enriched, stream_batch=batch_id,
-                             tier_snapshot=sid)
+        # persist before the isEmpty probe: without it the probe and the
+        # append would each run the whole per-batch plan (asof union-sort
+        # + anti-join dedup) — doubling micro-batch latency on the common
+        # non-empty path
+        enriched = enriched.persist()
+        try:
+            if not enriched.isEmpty():
+                out_table.append(enriched, stream_batch=batch_id,
+                                 tier_snapshot=sid)
+        finally:
+            enriched.unpersist(blocking=False)
 
     q = (stream.writeStream
          .foreachBatch(sink)
