@@ -1171,37 +1171,26 @@ DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- primary block, positions 1-50 (driver-evaluated) -----------
-        # Round-4 rotation (VERDICT r03 item 2): welsch/tau/ramsay/
-        # winsorize — each driver-green in rounds 1, 2 AND 3 — moved to the
-        # secondary block to make room for the four reference code paths
-        # that had never had a driver row: the GP matern / periodic /
-        # periodic_auto kernels (wotan/gp.py:30-106) and cosine's robust
-        # sigma-clip mode (wotan/cofiam.py:42-52).  ROTATED_OUT_R4 in
-        # tests/test_oracle_parity.py pins this policy.
-        "detrend_mean_packed": _wrap(q_detrend_mean_packed),
-        "detrend_median_packed": _wrap(q_detrend_median_packed),
+        # Round-5 rotation (VERDICT r04 item 1): sixteen detrend method
+        # queries — every one driver-green in rounds 1 THROUGH 4 — moved to
+        # the secondary block to give the sixteen pipeline queries that had
+        # never received a driver CORRECTNESS row (span dedup, packing,
+        # sharding, as-of/interval joins, curation funnel, sketch-tier
+        # unions, M4/LTTB downsampling, ANN LSH/IVF/PQ variants, embedding
+        # near-dups) their first driver-grade evidence.  One representative
+        # stays per estimator group (biweight = robust sliders, savgol =
+        # filters, pspline = splines, ridge = regressions, lowess,
+        # supersmoother, the four GP kernels + robust cosine — the last
+        # five are only once-green, rotated in in round 4).
+        # ROTATED_OUT_R5 / ROTATED_IN_R5 in tests/test_oracle_parity.py
+        # pin this policy.
         "detrend_biweight_packed": _wrap(q_detrend_biweight_packed),
-        "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
-        "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
-        "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
-        "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
-        "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
-        "detrend_huber_packed": _wrap(q_detrend_huber_packed),
-        "detrend_hampel_packed": _wrap(q_detrend_hampel_packed),
-        "detrend_medfilt_packed": _wrap(q_detrend_medfilt_packed),
         "detrend_savgol_pinned": _wrap(_pinned_detrend_query("savgol")),
-        "detrend_rspline_packed": _wrap(q_detrend_rspline_packed),
-        "detrend_hspline_pinned": _wrap(_pinned_detrend_query("hspline")),
         "detrend_pspline_pinned": _wrap(_pinned_detrend_query("pspline")),
         "detrend_ridge_pinned": _wrap(_pinned_detrend_query("ridge")),
-        "detrend_lasso_pinned": _wrap(_pinned_detrend_query("lasso")),
-        "detrend_elasticnet_pinned":
-            _wrap(_pinned_detrend_query("elasticnet")),
         "detrend_lowess_pinned": _wrap(_pinned_detrend_query("lowess")),
         "detrend_supersmoother_pinned":
             _wrap(_pinned_detrend_query("supersmoother")),
-        "detrend_cofiam_pinned": _wrap(_pinned_detrend_query("cofiam")),
-        "detrend_cosine_pinned": _wrap(_pinned_detrend_query("cosine")),
         "detrend_gp_squared_exp_pinned":
             _wrap(_pinned_detrend_query("gp_squared_exp")),
         "detrend_gp_matern_pinned":
@@ -1240,8 +1229,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _wrap(q_dedup_components),
         "cosine_topk": _wrap(q_cosine_topk),
         "decontaminate": _wrap(q_decontaminate),
+        # round-5 rotated-in block: first driver rows for the remaining
+        # pipeline families (all value-exact against local DuckDB oracles
+        # since the round they landed)
+        "dedup_spans": _wrap(q_dedup_spans),
+        "dedup_token_spans": _wrap(q_dedup_token_spans),
+        "pack_sequences": _wrap(q_pack_sequences),
+        "shard_chunks": _wrap(q_shard_chunks),
+        "asof_enrich": _wrap(q_asof_enrich),
+        "interval_sessions": _wrap(q_interval_sessions),
+        "curation_funnel": _wrap(q_curation_funnel),
+        "hist_quantile_t100": _wrap(q_hist_quantile_t100),
+        "distinct_t100_union": _wrap(q_distinct_t100_union),
+        "topk_t100_union": _wrap(q_topk_t100_union),
+        "downsample_m4": _wrap(q_downsample_m4),
+        "downsample_lttb": _wrap(q_downsample_lttb),
+        "cosine_topk_lsh": _wrap(q_cosine_topk_lsh),
+        "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
+        "cosine_topk_pq": _wrap(q_cosine_topk_pq),
+        "embedding_near_dups": _wrap(q_embedding_near_dups),
         # --- secondary block, positions 51+ (local-oracle-verified; the
         # driver verified each of these in an earlier round) --------------
+        "detrend_mean_packed": _wrap(q_detrend_mean_packed),
+        "detrend_median_packed": _wrap(q_detrend_median_packed),
+        "detrend_andrewsinewave_packed": _wrap(q_detrend_andrewsinewave_packed),
+        "detrend_hodges_packed": _wrap(q_detrend_hodges_packed),
+        "detrend_trim_mean_packed": _wrap(q_detrend_trim_mean_packed),
+        "detrend_hampelfilt_packed": _wrap(q_detrend_hampelfilt_packed),
+        "detrend_huber_psi_packed": _wrap(q_detrend_huber_psi_packed),
+        "detrend_huber_packed": _wrap(q_detrend_huber_packed),
+        "detrend_hampel_packed": _wrap(q_detrend_hampel_packed),
+        "detrend_medfilt_packed": _wrap(q_detrend_medfilt_packed),
+        "detrend_rspline_packed": _wrap(q_detrend_rspline_packed),
+        "detrend_hspline_pinned": _wrap(_pinned_detrend_query("hspline")),
+        "detrend_lasso_pinned": _wrap(_pinned_detrend_query("lasso")),
+        "detrend_elasticnet_pinned":
+            _wrap(_pinned_detrend_query("elasticnet")),
+        "detrend_cofiam_pinned": _wrap(_pinned_detrend_query("cofiam")),
+        "detrend_cosine_pinned": _wrap(_pinned_detrend_query("cosine")),
         "detrend_welsch_packed": _wrap(q_detrend_welsch_packed),
         "detrend_winsorize_packed": _wrap(q_detrend_winsorize_packed),
         "detrend_tau_packed": _wrap(q_detrend_tau_packed),
@@ -1266,26 +1291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _wrap(q_token_histogram),
         "minhash_signatures": _wrap(q_minhash_signatures),
         "simhash": _wrap(q_simhash),
-        "cosine_topk_ivf": _wrap(q_cosine_topk_ivf),
-        "embedding_near_dups": _wrap(q_embedding_near_dups),
         "embedding_dedup_components": _wrap(q_embedding_dedup_components),
-        "asof_enrich": _wrap(q_asof_enrich),
-        "cosine_topk_pq": _wrap(q_cosine_topk_pq),
-        "cosine_topk_lsh": _wrap(q_cosine_topk_lsh),
-        "curation_funnel": _wrap(q_curation_funnel),
         "repetition_stats": _wrap(q_repetition_stats),
-        "pack_sequences": _wrap(q_pack_sequences),
-        "shard_chunks": _wrap(q_shard_chunks),
         "tokenize_docs": _wrap(q_tokenize_docs),
         "decontaminate_frac": _wrap(q_decontaminate_frac),
-        "downsample_m4": _wrap(q_downsample_m4),
-        "downsample_lttb": _wrap(q_downsample_lttb),
-        "hist_quantile_t100": _wrap(q_hist_quantile_t100),
-        "distinct_t100_union": _wrap(q_distinct_t100_union),
-        "interval_sessions": _wrap(q_interval_sessions),
-        "dedup_spans": _wrap(q_dedup_spans),
-        "dedup_token_spans": _wrap(q_dedup_token_spans),
-        "topk_t100_union": _wrap(q_topk_t100_union),
     }
 
 

@@ -96,16 +96,33 @@ METHOD_QUERY.update({m: f"detrend_{m}_pinned" for m in [
     "lowess", "supersmoother", "cofiam", "cosine"]})
 METHOD_QUERY["gp"] = "detrend_gp_squared_exp_pinned"
 
-# Round-4 rotation (VERDICT r03): these four methods were driver-green in
-# rounds 1, 2 AND 3, so their queries sit in the secondary block this round
-# to free primary slots for the four reference code paths that had never
-# had a driver row (GP matern/periodic/periodic_auto kernels, cosine robust
-# mode).  Rotated-out methods must still be registered with value oracles
-# (local parity keeps verifying them every run).
+# Round-4 rotation (VERDICT r03): welsch/winsorize/tau/ramsay — each
+# driver-green in rounds 1-3 — moved secondary to free primary slots for
+# the GP matern/periodic/periodic_auto kernels and cosine's robust mode.
+# Round-5 rotation (VERDICT r04 item 1): sixteen more detrend queries —
+# each driver-green in rounds 1 THROUGH 4 — moved secondary so the sixteen
+# pipeline queries that had never had a driver row get driver-grade
+# CORRECTNESS evidence.  One representative stays per estimator group
+# (biweight / savgol / pspline / ridge / lowess / supersmoother / the four
+# GP kernels + robust cosine).  Rotated-out methods must still be
+# registered with value oracles (local parity keeps verifying them every
+# run).
 ROTATED_OUT_R4 = {"welsch", "winsorize", "tau", "ramsay"}
+ROTATED_OUT_R5 = ROTATED_OUT_R4 | {
+    "mean", "median", "andrewsinewave", "hodges", "trim_mean",
+    "hampelfilt", "huber_psi", "huber", "hampel", "medfilt", "rspline",
+    "hspline", "lasso", "elasticnet", "cofiam", "cosine",
+}
 ROTATED_IN_R4 = [
     "detrend_gp_matern_pinned", "detrend_gp_periodic_pinned",
     "detrend_gp_periodic_auto_pinned", "detrend_cosine_robust_pinned",
+]
+ROTATED_IN_R5 = ROTATED_IN_R4 + [
+    "dedup_spans", "dedup_token_spans", "pack_sequences", "shard_chunks",
+    "asof_enrich", "interval_sessions", "curation_funnel",
+    "hist_quantile_t100", "distinct_t100_union", "topk_t100_union",
+    "downsample_m4", "downsample_lttb", "cosine_topk_lsh",
+    "cosine_topk_ivf", "cosine_topk_pq", "embedding_near_dups",
 ]
 
 
@@ -121,16 +138,16 @@ def test_driver_window_covers_every_method_and_category():
     primary = list(q)[:entrymod.DRIVER_QUERY_CAP]
     assert sorted(METHOD_QUERY) == sorted(METHODS)
     missing = {m: qk for m, qk in METHOD_QUERY.items()
-               if qk not in primary and m not in ROTATED_OUT_R4}
+               if qk not in primary and m not in ROTATED_OUT_R5}
     assert not missing, f"methods outside the driver window: {missing}"
     # rotated-out methods stay in the contract with value oracles
-    for m in ROTATED_OUT_R4:
+    for m in ROTATED_OUT_R5:
         qk = METHOD_QUERY[m]
         assert qk in q and qk in o, f"rotated-out {qk} left the contract"
         assert qk not in primary, \
-            f"{qk} is primary — drop it from ROTATED_OUT_R4"
+            f"{qk} is primary — drop it from ROTATED_OUT_R5"
     # and the paths rotated in actually occupy primary slots
-    rotated_in_missing = [k for k in ROTATED_IN_R4 if k not in primary]
+    rotated_in_missing = [k for k in ROTATED_IN_R5 if k not in primary]
     assert not rotated_in_missing, \
         f"rotated-in queries outside the window: {rotated_in_missing}"
     missing_cat = [k for k in PRIMARY_CATEGORY_QUERIES if k not in primary]
