@@ -1,0 +1,212 @@
+"""Dependency-free real media codecs (round-5 verdict item 2): pure
+zlib/struct PNG + RIFF/PCM WAV built-ins behind the multimodal registry.
+
+The pinned invariant: ``synth_media(container=True)`` wraps the SAME
+deterministic samples in real containers, so every decoded byte must match
+the ``container=False`` raw payloads — and the full multimodal surface
+(extract_features, dedup_media_exact, frame_sample, resize_media) runs
+end-to-end on real PNG/WAV payloads with no imports beyond the stdlib."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from wotan_spark.codecs.png import decode_png, encode_png, parse_png
+from wotan_spark.codecs.wavpcm import decode_wav, encode_wav, parse_wav
+from wotan_spark.spark.multimodal import (dedup_media_exact,
+                                          extract_features, frame_sample,
+                                          register_decoder,
+                                          registered_codecs, resize_media,
+                                          synth_media, unregister_decoder)
+
+
+# ---------------------------------------------------------------------------
+# PNG pure round-trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_every_filter_and_color_type(filter_type, channels):
+    rng = np.random.default_rng([7, filter_type, channels])
+    h, w = 11, 13
+    px = rng.integers(0, 256, (h, w * channels), dtype=np.uint8)
+    payload = encode_png(px, channels=channels, filter_type=filter_type)
+    got, gw, gh, gc = parse_png(payload)
+    assert (gw, gh, gc) == (w, h, channels)
+    np.testing.assert_array_equal(got, px)
+    np.testing.assert_array_equal(decode_png(payload), px.reshape(-1))
+
+
+def test_png_gradient_compresses_under_sub_filter():
+    """Sanity that the filters do what filters are for: a horizontal
+    gradient under Sub encodes near-constant residuals and beats None."""
+    px = np.tile(np.arange(200, dtype=np.uint8), (32, 1))
+    none_size = len(encode_png(px, filter_type=0))
+    sub_size = len(encode_png(px, filter_type=1))
+    assert sub_size < none_size
+
+
+def test_png_single_column_image():
+    """stride == bpp edge: the left/upleft lanes are all-zero."""
+    px = np.arange(9, dtype=np.uint8).reshape(9, 1)
+    for ft in range(5):
+        got, w, h, c = parse_png(encode_png(px, filter_type=ft))
+        assert (w, h, c) == (1, 9, 1)
+        np.testing.assert_array_equal(got, px)
+
+
+def test_png_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"notapng")
+    px = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png(px)
+    # strip IEND (12 bytes) and cut into IDAT's crc+data so the declared
+    # chunk length exceeds the available bytes
+    with pytest.raises(ValueError, match="truncated"):
+        parse_png(good[:-17])
+    with pytest.raises(ValueError, match="missing IEND"):
+        parse_png(good[:-12])
+    # 16-bit depth: patch IHDR (depth is byte 24: sig 8 + len 4 + type 4
+    # + w 4 + h 4) and re-CRC
+    ihdr = bytearray(good[16:16 + 13])
+    ihdr[8] = 16
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)))
+    bad = good[:16] + bytes(ihdr) + crc + good[33:]
+    with pytest.raises(ValueError, match="bit depth"):
+        parse_png(bad)
+    # palette color type
+    ihdr = bytearray(good[16:16 + 13])
+    ihdr[9] = 3
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)))
+    bad = good[:16] + bytes(ihdr) + crc + good[33:]
+    with pytest.raises(ValueError, match="color type"):
+        parse_png(bad)
+    with pytest.raises(ValueError, match="channels"):
+        encode_png(px, channels=5)
+
+
+# ---------------------------------------------------------------------------
+# WAV pure round-trips
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_8bit():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(0, 256, 501, dtype=np.uint8)   # odd: pad byte
+    payload = encode_wav(samples, sample_rate=8000, channels=1, bits=8)
+    got, rate, ch, bits = parse_wav(payload)
+    assert (rate, ch, bits) == (8000, 1, 8)
+    np.testing.assert_array_equal(got, samples)
+    np.testing.assert_array_equal(decode_wav(payload), samples)
+
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.default_rng(13)
+    samples = rng.integers(-32768, 32768, 400).astype(np.int16)
+    payload = encode_wav(samples, sample_rate=44100, channels=2, bits=16)
+    got, rate, ch, bits = parse_wav(payload)
+    assert (rate, ch, bits) == (44100, 2, 16)
+    np.testing.assert_array_equal(got, samples)
+    # registry shape: top byte rebased to unsigned uint8
+    expect = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(decode_wav(payload), expect)
+
+
+def test_wav_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"RIFXbadpayload")
+    good = encode_wav(np.zeros(8, dtype=np.uint8))
+    # format tag 3 (IEEE float): fmt chunk starts at byte 20
+    bad = bytearray(good)
+    bad[20] = 3
+    with pytest.raises(ValueError, match="format tag"):
+        parse_wav(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(good[:-4])
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_wav(np.zeros(8), bits=24)
+
+
+# ---------------------------------------------------------------------------
+# Registry + Spark end-to-end over REAL container payloads
+# ---------------------------------------------------------------------------
+
+def test_builtin_codecs_registered_and_protected():
+    assert set(registered_codecs()) >= {"raw", "png", "wav"}
+    for codec in ("raw", "png", "wav"):
+        with pytest.raises(ValueError, match="cannot be replaced"):
+            register_decoder(codec, lambda b: b)
+        with pytest.raises(ValueError, match="cannot be removed"):
+            unregister_decoder(codec)
+
+
+def test_synth_container_decodes_to_raw_content(spark):
+    """The container invariant: PNG/WAV payloads decode to exactly the
+    bytes the raw mode emits (all five PNG filter types are exercised —
+    synth rotates filter_type = i % 5)."""
+    raw = {r.media_id: bytes(r.payload)
+           for r in synth_media(spark, 12).collect()}
+    for r in synth_media(spark, 12, container=True).collect():
+        payload = bytes(r.payload)
+        if r.codec == "png":
+            decoded = decode_png(payload)
+            assert payload[:4] == b"\x89PNG"
+        else:
+            assert r.codec == "wav"
+            decoded = decode_wav(payload)
+            assert payload[:4] == b"RIFF"
+        np.testing.assert_array_equal(
+            decoded, np.frombuffer(raw[r.media_id], dtype=np.uint8))
+
+
+def test_extract_features_on_real_containers(spark):
+    """Round-5 done criterion: a real PNG byte payload decodes through
+    extract_features on executors.  Features are computed on DECODED
+    samples, so they must equal the raw-mode features even though the
+    container bytes (and sha1/n_bytes) differ."""
+    raw_feats = {r.media_id: list(r.features)
+                 for r in extract_features(synth_media(spark, 16))
+                 .collect()}
+    cont = extract_features(synth_media(spark, 16, container=True)) \
+        .collect()
+    assert len(cont) == 16
+    for r in cont:
+        np.testing.assert_allclose(list(r.features),
+                                   raw_feats[r.media_id], rtol=1e-12)
+
+
+def test_dedup_media_exact_on_real_containers(spark):
+    """Identical pixel content encoded identically dedups on content
+    hash: duplicate the container table and every sha1 bucket has 2."""
+    media = synth_media(spark, 10, container=True)
+    dups = dedup_media_exact(media.union(media)).collect()
+    assert len(dups) == 10
+    assert all(r.dup_count == 2 for r in dups)
+
+
+def test_frame_sample_and_resize_transcode_containers_to_raw(spark):
+    """frame_sample/resize_media emit decoded samples; on container
+    inputs the output codec flips to raw and the bytes match what the
+    raw-mode pipeline produces."""
+    raw_media = synth_media(spark, 10)
+    cont_media = synth_media(spark, 10, container=True)
+
+    want = {r.media_id: bytes(r.payload)
+            for r in frame_sample(raw_media.filter("modality = 'audio'"),
+                                  every=4).collect()}
+    for r in frame_sample(cont_media.filter("modality = 'audio'"),
+                          every=4).collect():
+        assert r.codec == "raw"
+        assert bytes(r.payload) == want[r.media_id]
+
+    want = {r.media_id: bytes(r.payload)
+            for r in resize_media(raw_media, 8, 8).collect()}
+    for r in resize_media(cont_media, 8, 8).collect():
+        if r.modality == "image":
+            assert r.codec == "raw"
+            assert bytes(r.payload) == want[r.media_id]
+        else:
+            assert r.codec == "wav"   # non-image rows pass through

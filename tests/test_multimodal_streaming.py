@@ -73,20 +73,20 @@ def test_registered_decoder_runs_end_to_end(spark):
     # (a decoder in an importable module ships by reference — either works;
     # a reference into a module absent on executors would not, as with any
     # UDF)
-    def _decode_fake_png(payload: bytes):
-        if bytes(payload[:4]) != b"PNG!":
+    def _decode_fake_qoi(payload: bytes):
+        if bytes(payload[:4]) != b"QOI!":
             raise ValueError("bad magic")
         return np.frombuffer(payload[4:], dtype=np.uint8)
 
     raw = synth_media(spark, 8).filter("modality = 'image'")
-    png = raw.select(
-        "media_id", "modality", F.lit("png").alias("codec"),
+    qoi = raw.select(
+        "media_id", "modality", F.lit("qoi").alias("codec"),
         "width", "height", "sample_rate", "n_frames",
-        F.concat(F.lit(b"PNG!"), F.col("payload")).alias("payload"))
-    register_decoder("png", _decode_fake_png)
+        F.concat(F.lit(b"QOI!"), F.col("payload")).alias("payload"))
+    register_decoder("qoi", _decode_fake_qoi)
     try:
-        assert "png" in registered_codecs()
-        feats = {r.media_id: r for r in extract_features(png).collect()}
+        assert "qoi" in registered_codecs()
+        feats = {r.media_id: r for r in extract_features(qoi).collect()}
         want = {r.media_id: r for r in extract_features(raw).collect()}
         assert feats.keys() == want.keys() and feats
         for mid, r in feats.items():
@@ -94,21 +94,21 @@ def test_registered_decoder_runs_end_to_end(spark):
             # sha1/n_bytes differ (they hash the encoded payload)
             assert r.features == want[mid].features
             assert r.n_bytes == want[mid].n_bytes + 4
-        dupes = png.union(png.limit(2))
+        dupes = qoi.union(qoi.limit(2))
         out = dedup_media_exact(dupes).collect()
         assert len(out) == 2 and all(r.dup_count == 2 for r in out)
     finally:
-        unregister_decoder("png")
-    assert "png" not in registered_codecs()
+        unregister_decoder("qoi")
+    assert "qoi" not in registered_codecs()
     with pytest.raises(ValueError):
         unregister_decoder("raw")
     with pytest.raises(ValueError):
-        register_decoder("raw", _decode_fake_png)   # can't be replaced
+        register_decoder("raw", _decode_fake_qoi)   # can't be replaced
     with pytest.raises(TypeError):
         register_decoder("bad", 42)
     # a plan built BEFORE registration must not see a later decoder: the
     # closure snapshot is the shipping mechanism
-    stale = extract_features(png)
+    stale = extract_features(qoi)
     with pytest.raises(Exception, match="no decoder registered"):
         stale.collect()
 

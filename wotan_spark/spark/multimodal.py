@@ -3,12 +3,12 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` passes.  Decoding goes through a codec
-REGISTRY (``register_decoder``): only the dependency-free ``raw`` decoder
-ships in this container (no image/audio libraries), and a user plugs real
-codecs in without editing engine code — each operator snapshots the
-registry into its closure, so registered decoders ship to executors with
-the plan.  The Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and tested.
+REGISTRY (``register_decoder``) with three dependency-free built-ins —
+``raw`` (bare samples), ``png`` (real zlib+filters decoder,
+``codecs/png.py``) and ``wav`` (real RIFF/PCM decoder,
+``codecs/wavpcm.py``) — and a user plugs further codecs (JPEG, MP3, ...)
+in without editing engine code: each operator snapshots the registry into
+its closure, so registered decoders ship to executors with the plan.
 """
 
 from __future__ import annotations
@@ -22,6 +22,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
+
+from wotan_spark.codecs.png import decode_png, encode_png
+from wotan_spark.codecs.wavpcm import decode_wav, encode_wav
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
@@ -44,9 +47,14 @@ FEATURES_SCHEMA = StructType([
 
 
 def synth_media(spark: SparkSession, n: int, seed: int = 42,
-                partitions: int | None = None) -> DataFrame:
-    """Deterministic fake media table: raw uint8 payloads shaped like tiny
-    grayscale images / pcm audio clips."""
+                partitions: int | None = None,
+                container: bool = False) -> DataFrame:
+    """Deterministic fake media table: tiny grayscale images / pcm audio
+    clips.  With ``container=False`` payloads are bare uint8 samples
+    (codec ``raw``); with ``container=True`` the SAME samples are wrapped
+    in real PNG (rotating through all five scanline filters) and 8-bit
+    WAV containers (codecs ``png``/``wav``), so decoded content is
+    identical across the two modes — the invariant the codec tests pin."""
     if partitions is None:
         partitions = max(int(spark.sparkContext.defaultParallelism), 4)
     base = spark.range(0, n, 1, partitions)
@@ -59,16 +67,25 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42,
                 rng = np.random.default_rng([seed, i])
                 if i % 2 == 0:
                     w, h = 16 + i % 16, 16
-                    payload = rng.integers(0, 256, w * h,
-                                           dtype=np.uint8).tobytes()
-                    rows.append((f"img_{i:06d}", "image", "raw", w, h,
+                    samples = rng.integers(0, 256, w * h, dtype=np.uint8)
+                    if container:
+                        codec, payload = "png", encode_png(
+                            samples.reshape(h, w), channels=1,
+                            filter_type=i % 5)
+                    else:
+                        codec, payload = "raw", samples.tobytes()
+                    rows.append((f"img_{i:06d}", "image", codec, w, h,
                                  None, None, payload))
                 else:
                     sr, nf = 8000, 256 + (i % 256)
-                    payload = rng.integers(0, 256, nf,
-                                           dtype=np.uint8).tobytes()
-                    rows.append((f"aud_{i:06d}", "audio", "raw", None, None,
-                                 sr, nf, payload))
+                    samples = rng.integers(0, 256, nf, dtype=np.uint8)
+                    if container:
+                        codec, payload = "wav", encode_wav(
+                            samples, sample_rate=sr, channels=1, bits=8)
+                    else:
+                        codec, payload = "raw", samples.tobytes()
+                    rows.append((f"aud_{i:06d}", "audio", codec, None,
+                                 None, sr, nf, payload))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               MEDIA_SCHEMA.fields])
 
@@ -80,35 +97,42 @@ def _decode_raw(payload: bytes) -> np.ndarray:
 
 
 # codec name -> callable(payload: bytes) -> flat uint8 sample array.
-# Only ``raw`` ships in this container (no media libraries); real codecs
-# plug in via register_decoder WITHOUT editing engine code.  Every operator
-# snapshots the registry into its mapInPandas closure at plan-build time,
-# which is what ships decoders to executors — so a decoder must be
+# Three dependency-free built-ins ship: ``raw`` plus REAL ``png``
+# (zlib+filters) and ``wav`` (RIFF/PCM) decoders from wotan_spark.codecs.
+# Further codecs (JPEG, MP3, video containers) plug in via
+# register_decoder WITHOUT editing engine code.  Every operator snapshots
+# the registry into its mapInPandas closure at plan-build time, which is
+# what ships decoders to executors — so a decoder must be
 # cloudpickle-able (no live handles; functions from a module ship by
 # REFERENCE and that module must be importable on executors, e.g. via
 # --py-files, while nested/interactive functions ship by value), and a
 # driver-side mutation after a plan is built does not retroactively change
 # that query.
-_DECODERS: dict = {"raw": _decode_raw}
+_BUILTIN_CODECS = frozenset({"raw", "png", "wav"})
+_DECODERS: dict = {"raw": _decode_raw, "png": decode_png,
+                   "wav": decode_wav}
 
 
 def register_decoder(codec: str, fn) -> None:
     """Register a payload decoder for ``codec`` (e.g. a PIL/soundfile
     wrapper returning a flat uint8 array).  Queries built AFTER
-    registration use it; ``raw`` stays the dependency-free test path."""
+    registration use it; the ``raw``/``png``/``wav`` built-ins stay the
+    dependency-free paths."""
     if not callable(fn):
         raise TypeError(f"decoder for {codec!r} must be callable")
-    if str(codec) == "raw":
-        # mirror unregister_decoder's guard: the built-in raw decoder is
-        # the dependency-free path synth_media/dedup rely on, and there is
-        # no way to restore it once overwritten
-        raise ValueError("the built-in 'raw' decoder cannot be replaced")
+    if str(codec) in _BUILTIN_CODECS:
+        # mirror unregister_decoder's guard: the built-in decoders are
+        # the dependency-free paths synth_media/dedup rely on, and there
+        # is no way to restore one once overwritten
+        raise ValueError(
+            f"the built-in {codec!r} decoder cannot be replaced")
     _DECODERS[str(codec)] = fn
 
 
 def unregister_decoder(codec: str) -> None:
-    if codec == "raw":
-        raise ValueError("the built-in 'raw' decoder cannot be removed")
+    if codec in _BUILTIN_CODECS:
+        raise ValueError(
+            f"the built-in {codec!r} decoder cannot be removed")
     _DECODERS.pop(codec, None)
 
 
@@ -175,6 +199,9 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                 payloads.append(kept.tobytes())
                 frames.append(len(kept) if nf is not None else None)
             out["payload"] = payloads
+            # outputs are decoded samples, not re-wrapped containers —
+            # the codec column must say so or a downstream decode breaks
+            out["codec"] = "raw"
             out["n_frames"] = pd.array(frames, dtype="Int32")
             yield out
 
@@ -192,13 +219,14 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            payloads, ws, hs = [], [], []
+            payloads, ws, hs, codecs_out = [], [], [], []
             for mod, codec, payload, w, h in zip(
                     pdf["modality"], pdf["codec"], pdf["payload"],
                     pdf["width"], pdf["height"]):
                 raw = bytes(payload)
                 if mod != "image" or pd.isna(w) or pd.isna(h):
                     payloads.append(raw)
+                    codecs_out.append(codec)
                     ws.append(None if pd.isna(w) else int(w))
                     hs.append(None if pd.isna(h) else int(h))
                     continue
@@ -208,9 +236,12 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 xi = (np.arange(out_w) * w) // out_w
                 payloads.append(img[np.ix_(yi, xi)].astype(np.uint8)
                                 .tobytes())
+                # resized rows carry decoded samples, not containers
+                codecs_out.append("raw")
                 ws.append(out_w)
                 hs.append(out_h)
             out["payload"] = payloads
+            out["codec"] = codecs_out
             out["width"] = pd.array(ws, dtype="Int32")
             out["height"] = pd.array(hs, dtype="Int32")
             yield out
