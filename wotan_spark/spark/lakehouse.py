@@ -5,10 +5,13 @@ Iceberg runtime jars, so the engine ships a faithful miniature of the same
 snapshot protocol over plain parquet, behind one class that a real Iceberg
 catalog could replace 1:1:
 
-* every commit writes data files under ``data/<uuid>/`` then atomically
-  publishes a JSON manifest ``_manifests/snapshot-<n>.json`` listing the
-  file-set of that snapshot (append = parent files + new, overwrite = new
-  only) plus commit metadata;
+* every commit writes data files under ``data/<uuid>/``, wraps the ADDED
+  dirs in an immutable manifest file ``_manifests/manifest-<uuid>.json``,
+  and atomically publishes ``_manifests/snapshot-<n>.json`` holding a
+  MANIFEST LIST (append = parent's manifest names + one new; overwrite =
+  one new; merge reuses untouched parent manifests verbatim) plus commit
+  metadata — commit metadata is O(delta manifests), not O(total files),
+  the real Iceberg snapshot/manifest-list/manifest shape;
 * ``HEAD`` is an atomically renamed pointer file -> crash-safe commits,
   readers never observe partial writes;
 * snapshots are immutable -> time travel (``read(snapshot_id=...)``) and
@@ -38,12 +41,20 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+# dirs per manifest file for clustered compaction / rewrite_manifests:
+# small enough that a merge touching one key range rewrites little
+# metadata, large enough that the manifest list stays ~files/16 entries
+_MANIFEST_GROUP = 16
+
 
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
         self.manifest_dir = os.path.join(root, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # manifest files are immutable once linked into a snapshot, so
+        # their contents cache safely for the table handle's lifetime
+        self._manifest_cache: dict[str, list[str]] = {}
 
     # -- snapshot bookkeeping ------------------------------------------------
     def _head_path(self) -> str:
@@ -57,9 +68,50 @@ class SnapshotTable:
             return None
 
     def _manifest(self, snapshot_id: int) -> dict:
+        """Snapshot dict with ``files`` RESOLVED from the manifest list —
+        callers see the flat data-dir view regardless of the on-disk
+        format (new snapshots persist only manifest names; pre-manifest
+        snapshots persist ``files`` directly)."""
+        m = self._manifest_raw(snapshot_id)
+        if "files" not in m:
+            m["files"] = [d for name in m["manifest_list"]
+                          for d in self._manifest_files(name)]
+        return m
+
+    def _manifest_raw(self, snapshot_id: int) -> dict:
         with open(os.path.join(self.manifest_dir,
                                f"snapshot-{snapshot_id}.json")) as f:
             return json.load(f)
+
+    def _manifest_files(self, name: str) -> list[str]:
+        cached = self._manifest_cache.get(name)
+        if cached is None:
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                cached = json.load(f)["files"]
+            self._manifest_cache[name] = cached
+        return list(cached)
+
+    def _write_manifest(self, dirs: list[str]) -> str:
+        """Persist one immutable manifest file listing ``dirs``; returns
+        its basename for inclusion in a snapshot's manifest list."""
+        name = f"manifest-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(self.manifest_dir,
+                           f".tmp-man-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"files": list(dirs)}, f)
+        os.rename(tmp, os.path.join(self.manifest_dir, name))
+        self._manifest_cache[name] = list(dirs)
+        return name
+
+    def _as_manifest_list(self, snapshot_id: int) -> list[str]:
+        """A snapshot's manifest names; a pre-manifest snapshot's flat
+        file list is wrapped into one manifest on the fly (the one-time
+        upgrade path — the wrapper becomes garbage-collectable if never
+        committed)."""
+        m = self._manifest_raw(snapshot_id)
+        if "manifest_list" in m:
+            return list(m["manifest_list"])
+        return [self._write_manifest(m["files"])]
 
     def snapshots(self) -> list[dict]:
         head = self.current_snapshot_id()
@@ -159,10 +211,10 @@ class SnapshotTable:
         if branch not in refs["branches"]:
             raise KeyError(f"no branch {branch!r}")
         parent = refs["branches"][branch]
-        files = [self._write_data(df)]
+        manifests = [self._write_manifest([self._write_data(df)])]
         if mode == "append":
-            files = list(self._manifest(parent)["files"]) + files
-        sid = self._commit(files, {**meta, "branch": branch}, parent,
+            manifests = self._as_manifest_list(parent) + manifests
+        sid = self._commit(manifests, {**meta, "branch": branch}, parent,
                            move_head=False)
         refs = self.refs()                   # re-read: commit wrote data
         refs["branches"][branch] = sid
@@ -200,8 +252,7 @@ class SnapshotTable:
         file set is the target's — history is preserved (the bad
         snapshots stay time-travelable until expiry), readers see the
         restored data immediately."""
-        target = self._manifest(int(snapshot_id))
-        return self._commit(list(target["files"]),
+        return self._commit(self._as_manifest_list(int(snapshot_id)),
                             {**meta, "rollback_of": int(snapshot_id)},
                             self.current_snapshot_id())
 
@@ -230,13 +281,17 @@ class SnapshotTable:
         os.rename(tmp, counter)
         return sid
 
-    def _commit(self, files: list[str], meta: dict, parent: int | None,
-                move_head: bool = True) -> int:
+    def _commit(self, manifests: list[str], meta: dict,
+                parent: int | None, move_head: bool = True) -> int:
+        """Publish a snapshot referencing ``manifests`` (names returned by
+        ``_write_manifest`` / ``_as_manifest_list``).  The snapshot file
+        carries manifest NAMES only — O(delta) commit metadata however
+        many data files the table holds."""
         sid = self._next_sid()
         manifest = {
             "snapshot_id": sid,
             "parent": parent,
-            "files": files,
+            "manifest_list": manifests,
             "committed_at": time.time(),
             "meta": meta,
         }
@@ -348,12 +403,15 @@ class SnapshotTable:
     def append(self, df: DataFrame, **meta) -> int:
         d = self._write_data(df)
         parent = self.current_snapshot_id()
-        files = (self._manifest(parent)["files"] if parent is not None else [])
-        return self._commit(files + [d], meta, parent)
+        manifests = (self._as_manifest_list(parent)
+                     if parent is not None else [])
+        return self._commit(manifests + [self._write_manifest([d])],
+                            meta, parent)
 
     def overwrite(self, df: DataFrame, **meta) -> int:
         d = self._write_data(df)
-        return self._commit([d], meta, self.current_snapshot_id())
+        return self._commit([self._write_manifest([d])], meta,
+                            self.current_snapshot_id())
 
     def merge_buckets(self, spark: SparkSession, df: DataFrame,
                       keys: list[str], **meta) -> int:
@@ -463,8 +521,24 @@ class SnapshotTable:
         finally:
             if own_persist:
                 df.unpersist()
-        return self._commit(kept_dirs + [new_dir], meta,
-                            self.current_snapshot_id())
+        # manifest-level copy-on-write: a parent manifest whose dirs were
+        # ALL pruned is reused verbatim (zero metadata rewritten for the
+        # untouched slice of the table); kept dirs from partially-affected
+        # manifests regroup into one new manifest beside the merged data
+        head = self.current_snapshot_id()
+        kept_set = set(kept_dirs)
+        manifests: list[str] = []
+        leftover: list[str] = []
+        for name in self._as_manifest_list(head):
+            mdirs = self._manifest_files(name)
+            if mdirs and all(d in kept_set for d in mdirs):
+                manifests.append(name)
+            else:
+                leftover += [d for d in mdirs if d in kept_set]
+        if leftover:
+            manifests.append(self._write_manifest(leftover))
+        manifests.append(self._write_manifest([new_dir]))
+        return self._commit(manifests, meta, head)
 
     def compact(self, spark: SparkSession, target_file_rows: int = 1_000_000,
                 cluster_by: str | None = None, **meta) -> int:
@@ -517,7 +591,29 @@ class SnapshotTable:
             self._write_file_stats(nd)
             dirs.append(nd)
         shutil.rmtree(staged, ignore_errors=True)
-        return self._commit(dirs, meta, self.current_snapshot_id())
+        # range-adjacent dirs group into manifests of _MANIFEST_GROUP, so
+        # a later merge_buckets rewrites only the manifests whose key
+        # range it touches (partition-aligned manifests, the Iceberg
+        # rewrite_manifests layout) while the manifest list stays
+        # files/GROUP entries instead of one name per file
+        manifests = [self._write_manifest(dirs[i:i + _MANIFEST_GROUP])
+                     for i in range(0, len(dirs), _MANIFEST_GROUP)]
+        return self._commit(manifests, meta, self.current_snapshot_id())
+
+    def rewrite_manifests(self, **meta) -> int:
+        """Metadata-only maintenance (the Iceberg ``rewrite_manifests``
+        model): coalesce the head snapshot's manifest list — which grows
+        one entry per append — into manifests of ``_MANIFEST_GROUP`` dirs,
+        preserving dir order.  Data files are untouched; the file SET is
+        identical, so incremental readers see no change."""
+        head = self.current_snapshot_id()
+        if head is None:
+            raise ValueError("nothing to rewrite")
+        dirs = self._manifest(head)["files"]
+        manifests = [self._write_manifest(dirs[i:i + _MANIFEST_GROUP])
+                     for i in range(0, len(dirs), _MANIFEST_GROUP)]
+        meta.setdefault("manifests_rewritten", True)
+        return self._commit(manifests, meta, head)
 
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None,

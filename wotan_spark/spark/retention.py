@@ -152,6 +152,22 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
                                    f"snapshot-{m['snapshot_id']}.json"))
         except FileNotFoundError:
             pass
+    # manifest-file GC: a manifest referenced by no surviving snapshot is
+    # unreachable (expired snapshots' manifests, plus legacy-wrap /
+    # crashed-commit leftovers) — without this the manifest dir leaks one
+    # file per expired commit forever
+    kept_manifests = {name for m in kept + pinned
+                      for name in m.get("manifest_list", [])}
+    dropped_manifests = 0
+    for fn in os.listdir(table.manifest_dir):
+        if fn.startswith("manifest-") and fn.endswith(".json") \
+                and fn not in kept_manifests:
+            try:
+                os.remove(os.path.join(table.manifest_dir, fn))
+                table._manifest_cache.pop(fn, None)
+                dropped_manifests += 1
+            except FileNotFoundError:
+                pass
     # truncate history: the oldest kept snapshot becomes the chain root.
     # The newest retention_cutoff of the FULL chain is carried into the
     # rewritten root — otherwise expiring the snapshot that recorded it
@@ -171,10 +187,16 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
     oldest["meta"]["history_expired"] = True
     if newest_cutoff is not None:
         oldest["meta"]["retention_cutoff"] = newest_cutoff
+    if "manifest_list" in oldest:
+        # the in-memory view resolves "files" from the manifest list; the
+        # on-disk snapshot stays canonical (manifest names only) or the
+        # rewrite would silently regress the root to O(files) metadata
+        oldest.pop("files", None)
     path = os.path.join(table.manifest_dir,
                         f"snapshot-{oldest['snapshot_id']}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(oldest, f)
     os.replace(tmp, path)
-    return {"expired": len(expired), "dirs_deleted": len(drop_dirs)}
+    return {"expired": len(expired), "dirs_deleted": len(drop_dirs),
+            "manifests_deleted": dropped_manifests}
