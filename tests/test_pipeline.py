@@ -506,3 +506,44 @@ def test_dir_schema_survives_corrupt_sidecar_and_footer(spark, tmp_path):
         t.merge_buckets(spark, spark.createDataFrame(
             [("a", 2, 2.0)], "doc_id string, bucket long, y double"),
             keys=["doc_id", "bucket"])
+
+
+def test_pipeline_periodogram_stage_resumable_and_incremental(spark,
+                                                              tmp_path):
+    """Round-5 verdict item 8: dominant_periods as a pipeline tier —
+    committed + fingerprinted like the sketch tiers (full build resumes,
+    toggling it never invalidates other stages), maintained per-doc by
+    update_incremental."""
+    from wotan_spark.spark.periodogram import dominant_periods
+
+    seq = synth_sequences(spark, 10, median_len=200, max_len=800)
+    cfg = PipelineConfig(method="mean", window_length=17,
+                         periodogram_topk=2)
+    p = Pipeline(spark, str(tmp_path / "p"), cfg)
+    out = p.run(sequences=seq, stop_after="periods")
+    assert "periods" in out
+    got = (p.tables["periods"].read(spark)
+           .orderBy("doc_id", "rank").toPandas())
+    want = (dominant_periods(seq, top_k=2)
+            .orderBy("doc_id", "rank").toPandas())
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["period"], want["period"], rtol=1e-12)
+    # resume skips the committed stage
+    p2 = Pipeline(spark, str(tmp_path / "p"), cfg)
+    out2 = p2.run()
+    assert "periods" not in out2 and "blocks" in out2
+    # incremental: a new doc's periods are upserted without a full rerun
+    extra = synth_sequences(spark, 3, median_len=200, max_len=400,
+                            seed=99).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id")))
+    p2.update_incremental(extra)
+    per = p2.tables["periods"].read(spark)
+    assert per.filter(per.doc_id.startswith("new-")).count() == \
+        extra.count() * 2
+    # replay-idempotent, like the other merges
+    n_before = per.count()
+    p2.merge_changed(extra.select("doc_id"), run_id="replay")
+    assert p2.tables["periods"].read(spark).count() == n_before
+    # and the stage stays 'done' for the next run
+    out3 = Pipeline(spark, str(tmp_path / "p"), cfg).run()
+    assert "periods" not in out3

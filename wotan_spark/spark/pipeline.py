@@ -78,6 +78,14 @@ class PipelineConfig:
     sketch_lgk: int = 12
     sketch_topk: bool = False
     sketch_max_items: int = 1024
+    # Optional per-series periodogram tier: when set, the ``top_k``
+    # dominant Lomb-Scargle periods per sequence are committed as the
+    # ``periods`` table (periodogram.dominant_periods) — a per-series
+    # scalar signal exactly like the tier stats, maintained by the same
+    # merge machinery.  Fingerprinted per-stage so toggling it never
+    # invalidates the detrend/rollup/sketch snapshots.
+    periodogram_topk: int | None = None
+    periodogram_freqs: int | None = None
 
     def sketch_fingerprint(self, family: str) -> str:
         """Per-FAMILY fingerprint: enabling/tuning one sketch family must
@@ -100,6 +108,12 @@ class PipelineConfig:
         blob = json.dumps({"context_len": self.pack_context_len,
                            "eod": self.pack_eod_token}, sort_keys=True)
         return "pack-" + hashlib.md5(blob.encode()).hexdigest()[:16]
+
+    def period_fingerprint(self) -> str:
+        blob = json.dumps({"topk": self.periodogram_topk,
+                           "freqs": self.periodogram_freqs},
+                          sort_keys=True)
+        return "per-" + hashlib.md5(blob.encode()).hexdigest()[:16]
 
     def fingerprint(self) -> str:
         blob = json.dumps({
@@ -143,7 +157,7 @@ class Pipeline:
             name: SnapshotTable(os.path.join(root, name))
             for name in ("sequences", "detrended", "tier10", "tier100",
                          "hist10", "hist100", "distinct10", "distinct100",
-                         "topk10", "topk100",
+                         "topk10", "topk100", "periods",
                          "blocks", "chunks", "lineage")
         }
 
@@ -256,6 +270,21 @@ class Pipeline:
 
         out.update(self._run_sketch_stages(seq_df, seq_sid, run_id))
         if stop_after == "sketches":
+            return out
+
+        if cfg.periodogram_topk:
+            pfp = cfg.period_fingerprint()
+            if not self._stage_done("periods", pfp):
+                t0 = time.time()
+                from wotan_spark.spark.periodogram import dominant_periods
+                per = dominant_periods(seq_df, top_k=cfg.periodogram_topk,
+                                       n_freqs=cfg.periodogram_freqs)
+                out["periods"] = self._commit_stage("periods", per, pfp,
+                                                    seq_sid, run_id, t0)
+        if stop_after == "periods":
+            if not cfg.periodogram_topk:
+                raise ValueError("stop_after='periods' requires "
+                                 "periodogram_topk to be set")
             return out
 
         if not self._stage_done("blocks", fp):
@@ -477,6 +506,20 @@ class Pipeline:
                 sketch_sids[coarse] = _merge(coarse, c_df, sfp)
             finally:
                 f_full.unpersist()
+        # the periodogram tier upserts per-doc rows keyed on (doc_id,
+        # rank) — no bucket axis, so no retention gate; same stamp-only-
+        # when-done rule as the other merges
+        if cfg.periodogram_topk:
+            from wotan_spark.spark.periodogram import dominant_periods
+            pfp = cfg.period_fingerprint()
+            pmeta = {"run_id": run_id}
+            if self._stage_done("periods", pfp):
+                pmeta["fingerprint"] = pfp
+            per = dominant_periods(seq_changed,
+                                   top_k=cfg.periodogram_topk,
+                                   n_freqs=cfg.periodogram_freqs)
+            sketch_sids["periods"] = self.tables["periods"].merge_buckets(
+                self.spark, per, keys=["doc_id", "rank"], **pmeta)
         wall = time.time() - t0
         lineage = _file_lineage(self.tables["tier10"], sid10, seq_sid,
                                 run_id, "tier10-incremental", wall)
