@@ -28,11 +28,69 @@ if REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FRAC = float(os.environ.get("WOTAN_NDX_FRAC", "0.1"))
-# "minhash" (documents table) or "embedding" (embeddings table)
+# "minhash" (documents table), "embedding" (embeddings table), or "ann"
+# (the maintained IVF-PQ AnnIndex vs per-call cosine_topk_pq retraining)
 KIND = os.environ.get("WOTAN_NDX_KIND", "minhash")
 
 
+def _main_ann() -> None:
+    """AnnIndex warm path: per-call cosine_topk_pq retrains quantizers +
+    re-encodes the corpus; the maintained index pays encode O(delta) per
+    ingest and searches against stored codes."""
+    import shutil
+    import tempfile
+
+    from wotan_spark.spark.ann_index import AnnIndex
+    from wotan_spark.spark.datapipe import cosine_topk_pq
+    from wotan_spark.spark.session import get_spark
+
+    load0 = os.getloadavg()
+    spark = get_spark(app_name="bench-ann-index",
+                      cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vecs = emb.count()
+    qids = [0, 1, 2, 3, 4]
+    mod = max(2, int(round(1.0 / FRAC)))
+    base = emb.filter(f"vec_id % {mod} != 0")
+    delta = emb.filter(f"vec_id % {mod} = 0")
+
+    t0 = time.perf_counter()
+    cosine_topk_pq(emb, qids, k=5).count()          # retrain-per-call path
+    full_s = time.perf_counter() - t0
+
+    root = tempfile.mkdtemp(prefix="ann-bench-")
+    try:
+        idx = AnnIndex(root)
+        t0 = time.perf_counter()
+        idx.build(spark, base)
+        cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = idx.update_incremental(spark, delta, run_id="bench-delta")
+        warm_update_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx.search(spark, emb, qids, k=5).count()
+        warm_search_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "ann index warm-path cost vs per-call retrain+encode",
+        "kind": "ann", "sf_dir": SF_DIR, "n_vecs": n_vecs,
+        "n_delta": r["new_rows"],
+        "one_shot_topk_pq_s": round(full_s, 3),
+        "cold_build_s": round(cold_s, 3),
+        "warm_update_s": round(warm_update_s, 3),
+        "warm_search_s": round(warm_search_s, 3),
+        "speedup_warm_search_vs_one_shot": round(full_s / warm_search_s,
+                                                 2),
+        "load_avg_pre": list(load0),
+    }))
+
+
 def main() -> None:
+    if KIND == "ann":
+        return _main_ann()
     import shutil
     import tempfile
 

@@ -138,8 +138,19 @@ def test_torture_concurrent_branch_staging(tmp_path):
             parent = refs["branches"][branch]
             manifests = table._as_manifest_list(parent) + \
                 [table._write_manifest([d])]
-            sid = table._commit(manifests, {"branch": branch, "i": i},
-                                parent, move_head=False)
+            # two writers CAN race _next_sid to the same id; the loser's
+            # publish raises FileExistsError (the loud-loss contract) and
+            # retries with a freshly allocated id, like a real deploy
+            for _attempt in range(10):
+                try:
+                    sid = table._commit(manifests,
+                                        {"branch": branch, "i": i},
+                                        parent, move_head=False)
+                    break
+                except FileExistsError:
+                    continue
+            else:                                  # pragma: no cover
+                raise AssertionError("could not publish after 10 tries")
             # refs read-modify-write is the documented non-serialized
             # step; serialize it per-branch here the way a real deploy
             # serializes publishes
