@@ -126,3 +126,27 @@ def test_param_and_retrain_guards(spark, tmp_path):
     assert idx.codes.read(spark).count() == emb.count()
     got = idx.search(spark, emb, [0, 1], k=3, nprobe=4, rerank=32)
     assert got.count() == 6
+
+
+def test_crashed_retrain_is_detected_loudly(spark, tmp_path):
+    """A retrain() that commits its model but dies before the codes
+    overwrite must not serve mixed generations: search and update both
+    validate the codes HEAD's model_snapshot stamp and raise."""
+    from wotan_spark.spark.datapipe import ivf_centroids, pq_codebooks
+
+    emb = _emb(spark)
+    a = emb.filter("vec_id < 400")
+    idx = AnnIndex(str(tmp_path / "ann"))
+    idx.build(spark, a)
+    # simulate the crash window: a new model generation lands, codes don't
+    C = ivf_centroids(a, n_centroids=idx.n_centroids)
+    B = pq_codebooks(a, m=idx.m, n_centroids=idx.pq_centroids)
+    idx._store_model(spark, C, B, run_id="retrain-crash", op="build")
+    with pytest.raises(ValueError, match="retrain"):
+        idx.search(spark, emb, [0, 1], k=3)
+    with pytest.raises(ValueError, match="retrain"):
+        idx.update_incremental(spark, emb.filter("vec_id >= 400"),
+                               run_id="u-after-crash")
+    # a completed retrain restores a consistent generation
+    idx.retrain(spark, a, run_id="retrain-ok")
+    assert idx.search(spark, emb, [0, 1], k=3).count() > 0

@@ -158,3 +158,60 @@ def test_expiry_reclaims_unreferenced_manifests(spark, tmp_path):
     assert manifest_files() == live
     assert len(manifest_files()) < n_before
     assert t.read(spark).count() == 70
+
+
+def test_expiry_spares_in_flight_writer_manifest(spark, tmp_path):
+    """Manifest GC has the same polarity as the data-dir pass: it
+    reclaims manifests referenced by EXPIRED snapshots, never a freshly
+    written manifest whose commit has not published yet — deleting that
+    would brick the in-flight commit (its snapshot would point at a
+    missing file forever)."""
+    t, df = _mk(spark, tmp_path)
+    for i in range(4):
+        t.append(df(i * 10, i * 10 + 10))
+    # an in-flight writer: manifest written, snapshot not yet committed
+    staged = t._write_manifest([t._write_data(df(100, 110))])
+    out = expire_snapshots(t, keep_last=2)
+    assert out["expired"] == 2
+    assert os.path.exists(os.path.join(t.manifest_dir, staged)), \
+        "GC deleted an in-flight commit's manifest"
+    # the writer can still publish and the table reads clean
+    sid = t._commit(t._as_manifest_list(t.current_snapshot_id())
+                    + [staged], {"op": "late-append"}, t.current_snapshot_id())
+    assert t.read(spark, snapshot_id=sid).count() == 50
+
+    # ...but a STALE never-referenced manifest (crashed commit) is still
+    # reclaimed once past the grace window
+    stale = t._write_manifest([t._write_data(df(200, 210))])
+    stale_path = os.path.join(t.manifest_dir, stale)
+    os.utime(stale_path, (1, 1))
+    expire_snapshots(t, keep_last=1)
+    assert not os.path.exists(stale_path)
+
+
+def test_expire_snapshots_noop_result_shape(spark, tmp_path):
+    """The no-op early returns carry the same keys as the success path."""
+    t, df = _mk(spark, tmp_path)
+    want = {"expired": 0, "dirs_deleted": 0, "manifests_deleted": 0}
+    assert expire_snapshots(t, keep_last=2) == want     # empty table
+    t.append(df(0, 10))
+    assert expire_snapshots(t, keep_last=2) == want     # within keep window
+
+
+def test_meta_walkers_never_open_manifest_files(spark, tmp_path):
+    """snapshots()/find_snapshot resolve ``files`` lazily: a fresh handle
+    walking the chain for metadata reads one JSON per snapshot and ZERO
+    manifest files — the O(1)-metadata point of the manifest-list format."""
+    t, df = _mk(spark, tmp_path)
+    for i in range(6):
+        t.append(df(i * 10, i * 10 + 10), batch=i)
+    fresh = SnapshotTable(t.root)
+
+    def boom(name):
+        raise AssertionError(f"meta walk opened manifest file {name}")
+    fresh._manifest_files = boom
+    assert len(fresh.snapshots()) == 6
+    assert fresh.find_snapshot(batch=3) is not None
+    # a data read DOES resolve the manifest list
+    fresh2 = SnapshotTable(t.root)
+    assert fresh2.read(spark).count() == 60

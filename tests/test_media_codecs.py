@@ -210,3 +210,28 @@ def test_frame_sample_and_resize_transcode_containers_to_raw(spark):
             assert bytes(r.payload) == want[r.media_id]
         else:
             assert r.codec == "wav"   # non-image rows pass through
+
+
+def test_frame_sample_passes_images_through(spark):
+    """frame_sample decimates audio/video only: an image row passes
+    through byte-identical (codec, payload, metadata) — decimating raster
+    rows while width/height survive would emit a payload whose length
+    contradicts w*h and crash the next consumer (e.g. resize_media)."""
+    media = synth_media(spark, 10)
+    orig = {r.media_id: r for r in media.collect()}
+    out = {r.media_id: r for r in frame_sample(media, every=4).collect()}
+    n_img = 0
+    for mid, r in out.items():
+        if orig[mid].modality == "image":
+            n_img += 1
+            assert bytes(r.payload) == bytes(orig[mid].payload)
+            assert r.codec == orig[mid].codec
+            assert (r.width, r.height) == (orig[mid].width,
+                                           orig[mid].height)
+    assert n_img > 0
+    # the combined pipe that used to crash: sample then resize
+    resized = resize_media(frame_sample(media, every=4), 8, 8)
+    got = {r.media_id: r for r in resized.collect()}
+    for mid, r in got.items():
+        if orig[mid].modality == "image":
+            assert len(bytes(r.payload)) == 64

@@ -547,3 +547,17 @@ def test_pipeline_periodogram_stage_resumable_and_incremental(spark,
     # and the stage stays 'done' for the next run
     out3 = Pipeline(spark, str(tmp_path / "p"), cfg).run()
     assert "periods" not in out3
+
+
+def test_pipeline_stop_after_periods_fails_fast(spark, tmp_path):
+    """stop_after='periods' without periodogram_topk must raise BEFORE
+    any upstream stage runs (detrend/tier/sketch work at scale is hours)
+    — same fast-fail contract as the chunks/sketches guards."""
+    import pytest
+    seq = synth_sequences(spark, 4, median_len=50, max_len=100)
+    p = Pipeline(spark, str(tmp_path / "tables"), PipelineConfig())
+    with pytest.raises(ValueError, match="periodogram_topk"):
+        p.run(sequences=seq, stop_after="periods")
+    # no stage past ingestion committed anything
+    assert p.tables["detrended"].current_snapshot_id() is None
+    assert p.tables["tier10"].current_snapshot_id() is None

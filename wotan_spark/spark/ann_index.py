@@ -38,7 +38,7 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
 
 from wotan_spark.spark.datapipe import (_rerank_candidates, ivf_centroids,
                                         pq_codebooks)
-from wotan_spark.spark.lakehouse import SnapshotTable
+from wotan_spark.spark.lakehouse import SnapshotTable, delta_fingerprint
 
 _CODE_SCHEMA = StructType([
     StructField("vec_id", LongType(), False),
@@ -164,6 +164,7 @@ class AnnIndex:
         from pyspark import StorageLevel
 
         C, B, m_sid = self._load_model(spark)
+        self._check_generation(m_sid)
         done = self.codes.find_snapshot(run_id=run_id, op="update")
         delta = self._assign_encode(new_emb, C, B) \
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -199,13 +200,27 @@ class AnnIndex:
         return {"codes_snapshot": sid, "new_rows": fp["delta_fp_rows"]}
 
     def _delta_fingerprint(self, delta: DataFrame) -> dict:
-        row = delta.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(F.xxhash64("vec_id", "centroid_id", "codes")
-                  .cast("decimal(38,0)")).alias("h")).first()
-        return {"delta_fp_rows": int(row["c"]),
-                "delta_fp_hash": str(row["h"]) if row["h"] is not None
-                else "0"}
+        return delta_fingerprint(delta)
+
+    def _check_generation(self, m_sid: int) -> None:
+        """The codes HEAD must be stamped with the CURRENT model snapshot.
+        A ``retrain()`` that crashed between its two commits (model
+        overwrite landed, codes overwrite did not) leaves gen-N+1
+        centroids/codebooks over gen-N codes — ADC would score against
+        the wrong codebooks and return arbitrary candidates silently, and
+        an update would append gen-N+1 codes onto the gen-N table.  Fail
+        loudly instead; re-running ``retrain()`` restores consistency."""
+        c_head = self.codes.current_snapshot_id()
+        if c_head is None:
+            return
+        stamped = self.codes._manifest(c_head).get("meta", {}) \
+            .get("model_snapshot")
+        if stamped != m_sid:
+            raise ValueError(
+                f"codes HEAD (snapshot {c_head}) was encoded against "
+                f"model snapshot {stamped}, but the current model is "
+                f"{m_sid} — a retrain() committed its model but not its "
+                "codes; re-run retrain() before serving this index")
 
     # -- search ------------------------------------------------------------
     def search(self, spark: SparkSession, emb: DataFrame,
@@ -222,7 +237,8 @@ class AnnIndex:
         are the query collect and the rerank join."""
         from pyspark.sql import Window
 
-        C, B, _sid = self._load_model(spark)
+        C, B, m_sid = self._load_model(spark)
+        self._check_generation(m_sid)
         m, _, dsub = B.shape
         coded = self.codes.read(spark)
         if coded is None:

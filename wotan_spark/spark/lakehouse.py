@@ -47,6 +47,42 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_GROUP = 16
 
 
+def delta_fingerprint(df: DataFrame) -> dict:
+    """Order-independent content fingerprint of a delta frame (row count +
+    summed per-row hash), stamped into appends so a half-done retry can
+    prove it is replaying the same batch (used by the near-dup and ANN
+    index maintainers).  Sum in decimal(38,0): a long sum of xxhash64
+    values overflows under ANSI mode on even small deltas."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.xxhash64(*df.columns)
+              .cast("decimal(38,0)")).alias("h")).first()
+    return {"delta_fp_rows": int(row["c"]),
+            "delta_fp_hash": str(row["h"]) if row["h"] is not None
+            else "0"}
+
+
+class _LazySnapshot(dict):
+    """Snapshot view whose ``files`` key resolves from the manifest list
+    on first ``[]`` access.  Meta-only walkers (the snapshot-chain
+    traversal behind ``snapshots()`` / ``find_snapshot`` / stage
+    fingerprints) read one JSON per snapshot and never open manifest
+    files; data readers pay the manifest resolution only when they
+    actually ask for the dir list — keeping metadata reads O(1) per
+    snapshot, the point of the manifest-list format."""
+
+    def __init__(self, data: dict, resolve):
+        super().__init__(data)
+        self._resolve = resolve
+
+    def __missing__(self, key):
+        if key != "files":
+            raise KeyError(key)
+        files = self._resolve()
+        self["files"] = files
+        return files
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -68,15 +104,17 @@ class SnapshotTable:
             return None
 
     def _manifest(self, snapshot_id: int) -> dict:
-        """Snapshot dict with ``files`` RESOLVED from the manifest list —
-        callers see the flat data-dir view regardless of the on-disk
-        format (new snapshots persist only manifest names; pre-manifest
-        snapshots persist ``files`` directly)."""
+        """Snapshot dict whose ``files`` view resolves from the manifest
+        list LAZILY on first access — callers see the flat data-dir list
+        regardless of the on-disk format (new snapshots persist only
+        manifest names; pre-manifest snapshots persist ``files``
+        directly), but meta-only callers never touch manifest files."""
         m = self._manifest_raw(snapshot_id)
-        if "files" not in m:
-            m["files"] = [d for name in m["manifest_list"]
-                          for d in self._manifest_files(name)]
-        return m
+        if "files" in m:
+            return m
+        names = list(m["manifest_list"])
+        return _LazySnapshot(m, lambda: [d for name in names
+                                         for d in self._manifest_files(name)])
 
     def _manifest_raw(self, snapshot_id: int) -> dict:
         with open(os.path.join(self.manifest_dir,

@@ -183,25 +183,35 @@ def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """Frame/sample decimation for video/audio payloads: keep every
     ``every``-th sample — the downsample-retention idea applied to media
-    (real frame extraction plugs into _decode_payload)."""
+    (real frame extraction plugs into _decode_payload).  Image rows pass
+    through untouched (same discipline as ``resize_media``): decimating a
+    raster's rows while width/height metadata survives would emit a
+    payload whose length contradicts w*h and crash the next consumer."""
 
     decoders = dict(_DECODERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            payloads = []
-            frames = []
-            for codec, payload, nf in zip(pdf["codec"], pdf["payload"],
-                                          pdf["n_frames"]):
+            payloads, frames, codecs_out = [], [], []
+            for mod, codec, payload, nf in zip(
+                    pdf["modality"], pdf["codec"], pdf["payload"],
+                    pdf["n_frames"]):
+                if mod not in ("audio", "video"):
+                    payloads.append(bytes(payload))
+                    codecs_out.append(codec)
+                    frames.append(None if nf is None or pd.isna(nf)
+                                  else int(nf))
+                    continue
                 arr = _decode_payload(codec, bytes(payload), decoders)
                 kept = arr[::every]
                 payloads.append(kept.tobytes())
+                # outputs are decoded samples, not re-wrapped containers —
+                # the codec column must say so or a downstream decode breaks
+                codecs_out.append("raw")
                 frames.append(len(kept) if nf is not None else None)
             out["payload"] = payloads
-            # outputs are decoded samples, not re-wrapped containers —
-            # the codec column must say so or a downstream decode breaks
-            out["codec"] = "raw"
+            out["codec"] = codecs_out
             out["n_frames"] = pd.array(frames, dtype="Int32")
             yield out
 

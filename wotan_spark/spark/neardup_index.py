@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wotan_spark.spark.datapipe import (DEFAULT_BUCKET_CAP, _capped_pairs,
                                         lsh_buckets, minhash_bands,
                                         verify_cosine_pairs)
-from wotan_spark.spark.lakehouse import SnapshotTable
+from wotan_spark.spark.lakehouse import SnapshotTable, delta_fingerprint
 
 
 class _PairIndexBase:
@@ -194,17 +194,9 @@ class _PairIndexBase:
 
     def _delta_fingerprint(self, delta: DataFrame) -> dict:
         """Order-independent content fingerprint of the delta's signature
-        rows (row count + summed per-row hash), stamped into both appends
-        so a half-done retry can prove it is replaying the same batch."""
-        # sum in decimal(38,0): a long sum of xxhash64 values overflows
-        # under ANSI mode on even small deltas
-        row = delta.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(F.xxhash64(*delta.columns)
-                  .cast("decimal(38,0)")).alias("h")).first()
-        return {"delta_fp_rows": int(row["c"]),
-                "delta_fp_hash": str(row["h"]) if row["h"] is not None
-                else "0"}
+        rows, stamped into both appends so a half-done retry can prove it
+        is replaying the same batch (shared with the ANN index)."""
+        return delta_fingerprint(delta)
 
     def _update_result(self, s_sid: int, p_sid: int) -> dict:
         def last_dir_rows(table: SnapshotTable, sid: int) -> int:

@@ -220,6 +220,12 @@ class Pipeline:
                                              or cfg.sketch_topk):
             raise ValueError("stop_after='sketches' requires sketch_bins, "
                              "sketch_distinct, or sketch_topk to be set")
+        if stop_after == "periods" and not cfg.periodogram_topk:
+            # fail HERE with the other stop_after guards — validating at
+            # the periods stage would first run every upstream stage
+            # (hours at scale) before raising
+            raise ValueError("stop_after='periods' requires "
+                             "periodogram_topk to be set")
         if cfg.pack_context_len:
             # packing is a global re-bucketing, so unlike the tier tables
             # it cannot be maintained by incremental merges: stamp the
@@ -282,9 +288,6 @@ class Pipeline:
                 out["periods"] = self._commit_stage("periods", per, pfp,
                                                     seq_sid, run_id, t0)
         if stop_after == "periods":
-            if not cfg.periodogram_topk:
-                raise ValueError("stop_after='periods' requires "
-                                 "periodogram_topk to be set")
             return out
 
         if not self._stage_done("blocks", fp):

@@ -91,7 +91,8 @@ def retention_cutoff(table: SnapshotTable) -> int | None:
     return None
 
 
-def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
+def expire_snapshots(table: SnapshotTable, keep_last: int = 2,
+                     orphan_manifest_grace_sec: float = 86400.0) -> dict:
     """Reclaim storage: keep only the newest ``keep_last`` snapshots of the
     parent chain, delete every data directory referenced ONLY by expired
     snapshots, and drop their manifests.  The oldest kept manifest is
@@ -107,10 +108,10 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
 
     head = table.current_snapshot_id()
     if head is None:
-        return {"expired": 0, "dirs_deleted": 0}
+        return {"expired": 0, "dirs_deleted": 0, "manifests_deleted": 0}
     chain = table.snapshots()               # oldest .. newest
     if len(chain) <= keep_last:
-        return {"expired": 0, "dirs_deleted": 0}
+        return {"expired": 0, "dirs_deleted": 0, "manifests_deleted": 0}
     refs = table.refs()
     ref_sids = set(refs["tags"].values()) | set(refs["branches"].values())
     chain_sids = {m["snapshot_id"] for m in chain}
@@ -152,22 +153,39 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
                                    f"snapshot-{m['snapshot_id']}.json"))
         except FileNotFoundError:
             pass
-    # manifest-file GC: a manifest referenced by no surviving snapshot is
-    # unreachable (expired snapshots' manifests, plus legacy-wrap /
-    # crashed-commit leftovers) — without this the manifest dir leaks one
-    # file per expired commit forever
+    # manifest-file GC — same polarity as the data-dir pass above: reclaim
+    # manifests REFERENCED BY AN EXPIRED SNAPSHOT (minus any shared with
+    # kept/pinned ones, which appends do).  "Delete everything
+    # unreferenced" would race an in-flight writer whose freshly written
+    # manifest has no published snapshot yet and brick its commit.
+    # Never-referenced leftovers (crashed commits, uncommitted legacy
+    # wraps) are reclaimed only once older than
+    # ``orphan_manifest_grace_sec`` — far past any commit's write-to-
+    # publish window, so the dir still cannot leak forever.
+    import time as _time
     kept_manifests = {name for m in kept + pinned
                       for name in m.get("manifest_list", [])}
+    expired_manifests = {name for m in expired
+                         for name in m.get("manifest_list", [])}
     dropped_manifests = 0
+    now = _time.time()
     for fn in os.listdir(table.manifest_dir):
-        if fn.startswith("manifest-") and fn.endswith(".json") \
-                and fn not in kept_manifests:
+        if not (fn.startswith("manifest-") and fn.endswith(".json")) \
+                or fn in kept_manifests:
+            continue
+        path = os.path.join(table.manifest_dir, fn)
+        if fn not in expired_manifests:
             try:
-                os.remove(os.path.join(table.manifest_dir, fn))
-                table._manifest_cache.pop(fn, None)
-                dropped_manifests += 1
+                if now - os.path.getmtime(path) < orphan_manifest_grace_sec:
+                    continue                 # possibly an in-flight commit
             except FileNotFoundError:
-                pass
+                continue
+        try:
+            os.remove(path)
+            table._manifest_cache.pop(fn, None)
+            dropped_manifests += 1
+        except FileNotFoundError:
+            pass
     # truncate history: the oldest kept snapshot becomes the chain root.
     # The newest retention_cutoff of the FULL chain is carried into the
     # rewritten root — otherwise expiring the snapshot that recorded it
