@@ -150,3 +150,64 @@ def test_crashed_retrain_is_detected_loudly(spark, tmp_path):
     # a completed retrain restores a consistent generation
     idx.retrain(spark, a, run_id="retrain-ok")
     assert idx.search(spark, emb, [0, 1], k=3).count() > 0
+
+
+def test_crashed_build_is_detected_loudly(spark, tmp_path):
+    """A build() that commits its model but dies before the codes
+    overwrite (one commit earlier than the crashed-retrain window) must
+    not be silently adopted: an update would land the delta as the whole
+    index and search would serve neighbors from the delta only."""
+    from wotan_spark.spark.datapipe import ivf_centroids, pq_codebooks
+
+    emb = _emb(spark)
+    idx = AnnIndex(str(tmp_path / "ann"))
+    # simulate the crash window: model lands, codes table never written
+    C = ivf_centroids(emb, n_centroids=idx.n_centroids)
+    B = pq_codebooks(emb, m=idx.m, n_centroids=idx.pq_centroids)
+    idx._store_model(spark, C, B, run_id="build-crash", op="build")
+    with pytest.raises(ValueError, match="no snapshot"):
+        idx.update_incremental(spark, emb.filter("vec_id >= 450"),
+                               run_id="u-after-crashed-build")
+    with pytest.raises(ValueError, match="no snapshot"):
+        idx.search(spark, emb, [0, 1], k=3)
+    # a completed build restores the index
+    idx.build(spark, emb)
+    assert idx.search(spark, emb, [0, 1], k=3).count() == 6
+
+
+def test_lakehouse_maintenance_keeps_index_usable(spark, tmp_path):
+    """compact() / rewrite_manifests() on the index tables commit new
+    snapshots WITHOUT the model_snapshot / parameter stamps; the stamps
+    must be resolved by walking the chain, not read off HEAD — otherwise
+    routine maintenance bricks the index until a full retrain."""
+    emb = _emb(spark)
+    idx = AnnIndex(str(tmp_path / "ann"))
+    idx.build(spark, emb.filter("vec_id < 400"))
+    before = _topk_set(idx.search(spark, emb, [0, 1], k=3,
+                                  nprobe=6, rerank=64).collect())
+    idx.codes.compact(spark, target_file_rows=100)
+    idx.codes.rewrite_manifests()
+    idx.model.rewrite_manifests()
+    after = _topk_set(idx.search(spark, emb, [0, 1], k=3,
+                                 nprobe=6, rerank=64).collect())
+    assert after == before
+    # updates still work and stay generation-checked after maintenance
+    out = idx.update_incremental(spark, emb.filter("vec_id >= 400"),
+                                 run_id="u-post-compact")
+    assert out["new_rows"] == emb.filter("vec_id >= 400").count()
+
+
+def test_intra_batch_duplicate_vec_id_rejected(spark, tmp_path):
+    """The append-only identity guard must also hold WITHIN one ingest
+    batch: a vec_id duplicated by upstream join fan-out would land twice
+    and occupy two top-k slots in every search that reaches it."""
+    emb = _emb(spark)
+    idx = AnnIndex(str(tmp_path / "ann"))
+    idx.build(spark, emb.filter("vec_id < 450"))
+    delta = emb.filter("vec_id >= 450")
+    doubled = delta.union(delta.limit(1))
+    with pytest.raises(ValueError, match="times"):
+        idx.update_incremental(spark, doubled, run_id="u-dup")
+    # the clean batch still lands (the failed attempt committed nothing)
+    out = idx.update_incremental(spark, delta, run_id="u-clean")
+    assert out["new_rows"] == delta.count()

@@ -5,12 +5,9 @@ exact for ints/strings, 1e-9 for floats)."""
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
-import numpy as np
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -30,40 +27,10 @@ def duck():
     con.close()
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
-def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
-    assert len(got) == len(want), \
-        f"{name}: row count {len(got)} != oracle {len(want)}"
-    got, want = _canon(got), _canon(want)
-    assert list(got.columns) == list(want.columns), \
-        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
-    for c in got.columns:
-        a, b = got[c].to_numpy(), want[c].to_numpy()
-        if np.issubdtype(got[c].dtype, np.floating) or \
-                np.issubdtype(want[c].dtype, np.floating):
-            a = a.astype(np.float64)
-            b = b.astype(np.float64)
-            ok = np.isclose(a, b, rtol=1e-9, atol=1e-9) | \
-                (np.isnan(a) & np.isnan(b))
-            if not ok.all():
-                bad = np.where(~ok)[0][:5]
-                raise AssertionError(
-                    f"{name}.{c}: {len(bad)} mismatches, e.g. "
-                    f"{a[bad].tolist()} vs {b[bad].tolist()}")
-        else:
-            if not (pd.isna(a) == pd.isna(b)).all() or \
-                    not (a[~pd.isna(a)] == b[~pd.isna(b)]).all():
-                bad = np.where(a != b)[0][:5]
-                raise AssertionError(
-                    f"{name}.{c}: mismatches at {bad.tolist()}: "
-                    f"{a[bad].tolist()} vs {b[bad].tolist()}")
+# the comparator is shared with scripts/drive_sim.py so "driver parity"
+# has exactly one definition (round-5b review finding: two hand-rolled
+# copies with subtly different canonicalization)
+from wotan_spark.oracle_compare import compare as _compare  # noqa: E402
 
 
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())

@@ -13,7 +13,9 @@ deterministic key remapping:
   set and LSH bucket profile scale exactly REP x (naively copying text
   would make every doc a 10-way near-duplicate of itself — a pair-count
   explosion no natural corpus has);
-* embeddings — vec_id offset (top-k cost scales with rows);
+* embeddings — vec_id offset; replica r>0 circularly shifted by r lanes
+  (an orthogonal permutation: same norms, intra-replica cosines exact,
+  no cross-replica cosine-1.0 clones);
 * lineitem — l_orderkey offset;
 * dims (orders/customer/supplier/part/nation/region) copied unchanged.
 
@@ -80,8 +82,19 @@ def main() -> None:
 
     vec_hi = con.sql(f"SELECT max(vec_id)+1 "
                      f"FROM {src('embeddings')}").fetchone()[0]
+    # replica r>0 is circularly shifted by r lanes: a coordinate
+    # permutation is orthogonal, so norms and every intra-replica cosine
+    # are preserved EXACTLY (each replica is the same workload), while
+    # cross-replica exact duplicates are destroyed — verbatim copies would
+    # hand every query REP-1 cosine-1.0 clones and inflate every LSH
+    # bucket REP x, the same pair-count explosion the ~r word-suffix
+    # avoids for documents
     write(f"""
-        SELECT vec_id + rep * {vec_hi} AS vec_id, embedding, label
+        SELECT vec_id + rep * {vec_hi} AS vec_id,
+               CASE WHEN rep = 0 THEN embedding
+                    ELSE embedding[rep + 1:] || embedding[1:rep]
+               END AS embedding,
+               label
         FROM {src('embeddings')}, {reps}
         ORDER BY vec_id
     """, "embeddings")

@@ -66,11 +66,31 @@ class AnnIndex:
         return {"n_centroids": self.n_centroids, "m": self.m,
                 "pq_centroids": self.pq_centroids}
 
+    @staticmethod
+    def _newest_stamped(table: SnapshotTable, key: str) -> dict | None:
+        """Newest snapshot in the table's HEAD chain whose meta carries
+        ``key``.  Data-preserving lakehouse maintenance (compact,
+        rewrite_manifests, merge_buckets) commits new snapshots WITHOUT
+        the index stamps; the logical content they carry is still the
+        newest stamped ancestor's, so stamps — and the model GENERATION
+        id — are resolved by walking the chain instead of reading HEAD
+        only (HEAD-only reads bricked the index after a routine
+        compact)."""
+        for m in reversed(table.snapshots()):
+            if key in m.get("meta", {}):
+                return m
+        return None
+
     def _check_params(self) -> None:
         head = self.model.current_snapshot_id()
         if head is None:
             raise ValueError("index has no model — call build()")
-        meta = self.model._manifest(head)["meta"]
+        stamped = self._newest_stamped(self.model, "n_centroids")
+        if stamped is None:
+            raise ValueError(
+                "model table has snapshots but none carries the index "
+                "parameter stamps — not an AnnIndex model table")
+        meta = stamped["meta"]
         want = self._params_meta()
         stored = {k: meta.get(k) for k in want}
         if stored != want:
@@ -91,9 +111,14 @@ class AnnIndex:
     def _load_model(self, spark: SparkSession) -> tuple[np.ndarray,
                                                         np.ndarray, int]:
         """(C [n_centroids, dim], B [m, pq_centroids, dsub], model_sid) —
-        a few KB, driver-side, closed over by the Arrow passes."""
+        a few KB, driver-side, closed over by the Arrow passes.
+
+        The returned sid is the model GENERATION: the newest snapshot that
+        carries the parameter stamps (i.e. the newest build()/retrain()
+        commit), NOT the table HEAD — maintenance commits move HEAD
+        without changing the generation."""
         self._check_params()
-        sid = self.model.current_snapshot_id()
+        sid = self._newest_stamped(self.model, "n_centroids")["snapshot_id"]
         pdf = self.model.read(spark).toPandas()
         ivf = pdf[pdf["kind"] == "ivf"].sort_values("centroid_id")
         C = np.stack([np.asarray(v, dtype=np.float64)
@@ -169,6 +194,17 @@ class AnnIndex:
         delta = self._assign_encode(new_emb, C, B) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # identity must be unique WITHIN the batch too: the stored-index
+            # probe below can't see a vec_id duplicated by upstream join
+            # fan-out, and a landed duplicate permanently occupies two
+            # top-k slots in every search that reaches it
+            dup_in = (delta.groupBy("vec_id").count()
+                      .filter(F.col("count") > 1).limit(1).collect())
+            if dup_in:
+                raise ValueError(
+                    f"vec_id {dup_in[0][0]} appears {dup_in[0][1]} times "
+                    "in this ingest batch — deduplicate the batch by "
+                    "vector identity before update_incremental()")
             fp = self._delta_fingerprint(delta)
             if done is not None:
                 stamped = {k: done.get("meta", {}).get(k) for k in fp}
@@ -209,12 +245,21 @@ class AnnIndex:
         centroids/codebooks over gen-N codes — ADC would score against
         the wrong codebooks and return arbitrary candidates silently, and
         an update would append gen-N+1 codes onto the gen-N table.  Fail
-        loudly instead; re-running ``retrain()`` restores consistency."""
+        loudly instead; re-running ``retrain()`` restores consistency.
+
+        A codes table with NO snapshot while a model exists is the same
+        crash class one commit earlier (``build()`` died between its model
+        and codes commits) — serving or appending to it would silently
+        present the delta as the whole corpus, so that fails loudly too."""
         c_head = self.codes.current_snapshot_id()
         if c_head is None:
-            return
-        stamped = self.codes._manifest(c_head).get("meta", {}) \
-            .get("model_snapshot")
+            raise ValueError(
+                "the model table has a committed model but the codes "
+                "table has no snapshot — a build()/retrain() crashed "
+                "between its model and codes commits; re-run build() "
+                "before serving or updating this index")
+        rec = self._newest_stamped(self.codes, "model_snapshot")
+        stamped = None if rec is None else rec["meta"].get("model_snapshot")
         if stamped != m_sid:
             raise ValueError(
                 f"codes HEAD (snapshot {c_head}) was encoded against "
@@ -299,4 +344,7 @@ class AnnIndex:
         cand = (cands.withColumn("r", F.row_number().over(w))
                 .filter(F.col("r") <= rerank)
                 .select("query_id", "neighbor_id"))
-        return _rerank_candidates(emb, cand, query_ids, k, round_to)
+        # qpdf was already collected for the LUT/probes above — hand it to
+        # the rerank so the raw table is scanned once per search, not twice
+        return _rerank_candidates(emb, cand, query_ids, k, round_to,
+                                  qpdf=qpdf)

@@ -726,18 +726,24 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
 
 def _rerank_candidates(emb: DataFrame, cand: DataFrame,
                        query_ids: list[int], k: int,
-                       round_to: int) -> DataFrame:
+                       round_to: int, qpdf=None) -> DataFrame:
     """Exact cosine rerank of (query_id, neighbor_id) candidates: one join
     to fetch neighbor vectors, query matrix closed over, NumPy scoring per
-    Arrow batch, global top-k window.  Shared by the LSH and IVF paths."""
+    Arrow batch, global top-k window.  Shared by the LSH and IVF paths.
+
+    ``qpdf``: optional pre-collected (vec_id, embedding) pandas frame for
+    the query ids — callers that already collected the query vectors (the
+    maintained ``AnnIndex.search`` builds its ADC LUT from them) pass it
+    through so the raw table is scanned once per search, not twice."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
-    qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
-            .select("vec_id", "embedding").toPandas())
+    if qpdf is None:
+        qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
+                .select("vec_id", "embedding").toPandas())
     qvecs = {int(i): np.asarray(v, dtype=np.float64)
              for i, v in zip(qpdf["vec_id"], qpdf["embedding"])}
     qnorm = {i: float(np.linalg.norm(v)) for i, v in qvecs.items()}
