@@ -427,3 +427,74 @@ def test_dedup_spans_null_text_treated_as_empty(spark):
            for r in dedup_token_spans(seqs, n=3, min_count=2).collect()}
     assert got["a"] == ([], 0, 0)
     assert got["b"] == ([1, 2, 3], 3, 0)
+
+
+def test_cosine_topk_zero_vector_never_outranks(spark):
+    """An all-zero embedding must score cos_sim 0 (clipped norm), not NaN:
+    numpy's lexsort puts NaN LAST in the per-partition top-k but Spark's
+    desc window puts NaN FIRST, so an unclipped zero vector could surface
+    as the global top hit (round-5b review finding)."""
+    import math
+
+    rows = [(int(i), [float((i * 7 + j * 3) % 5 + 1) for j in range(8)])
+            for i in range(20)]
+    rows.append((20, [0.0] * 8))                       # the zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, [0], k=21).collect()
+    assert all(not math.isnan(r.cos_sim) for r in out)
+    zero = [r for r in out if r.neighbor_id == 20]
+    assert zero and zero[0].cos_sim == 0.0
+    assert zero[0].rank == max(r.rank for r in out)    # strictly last
+
+
+def test_pq_codebooks_tiny_corpus(spark):
+    """A corpus smaller than n_centroids seeds the codebook with
+    replacement — the (m, n_centroids, dsub) shape survives and encoding
+    works (an under-filled seed crashed with a broadcast ValueError)."""
+    from wotan_spark.spark.datapipe import pq_codebooks, pq_encode
+
+    rows = [(int(i), [float((i + j) % 7 + 1) for j in range(8)])
+            for i in range(5)]                         # 5 vectors < 16
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=4, n_centroids=16)
+    assert books.shape == (4, 16, 2)
+    assert pq_encode(emb, books).count() == 5
+
+
+def test_prefix_join_shingle_cache_is_tracked(spark):
+    """The prefix join's corpus-sized per-doc shingle cache must be
+    release-able via clear_block_caches() like every other block cache
+    (an untracked persist stayed pinned for the session)."""
+    import wotan_spark.spark.datapipe as dp
+    from wotan_spark.spark.datapipe import clear_block_caches
+
+    clear_block_caches()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5).count()
+    # both the per-doc shingle frame and the block index are tracked
+    assert len(dp._LIVE_BLOCK_CACHE) == 2
+    assert clear_block_caches() == 2
+    assert dp._LIVE_BLOCK_CACHE == []
+
+
+def test_text_ops_null_text_sane(spark):
+    """NULL text reads as empty: size(NULL)=-1 used to poison every count
+    and classify a NULL doc as 'en' with stop_ratio 1.0."""
+    from wotan_spark.spark.datapipe import (lang_id, text_stats,
+                                            token_counts,
+                                            tokenize_documents)
+
+    rows = [(1, "the quick brown fox and the dog", "en", "web", 31),
+            (2, None, "en", "web", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    li = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert li[2].stop_ratio == 0.0 and li[2].lang_guess == "other"
+    assert li[1].lang_guess == "en"
+    ts = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert ts[2].n_tokens >= 0 and ts[2].stopword_kinds == 0
+    tc = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert tc[2].n_bpe_tokens == 0 and tc[2].n_bpe_types == 0
+    tk = {r.doc_id: r for r in tokenize_documents(docs).collect()}
+    assert tk["2"].n_tok == 0 and tk["2"].tokens == []

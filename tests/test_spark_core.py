@@ -337,3 +337,67 @@ def test_sequence_formats_roundtrip(spark, tmp_path):
         got = {r.doc_id: (list(r.tokens), r.n_tok, r.source)
                for r in back.collect()}
         assert got == orig, fmt
+
+
+def test_fused_rollup_handles_masks(spark):
+    """mask_col through the fused pass must equal the chained
+    detrend_sequences(mask) + rollup_tier10 composition column-for-column
+    (forwarding the mask kwargs into the kernel verbatim crashed every
+    executor task — round-5b review finding), and the auto router's
+    masked fallback must take that working path."""
+    import pandas as pd
+
+    from wotan_spark.spark.detrend_op import detrend_sequences
+    from wotan_spark.spark.rollup import (detrend_rollup_fused,
+                                          detrend_rollup_fused_auto,
+                                          rollup_tier10)
+
+    seq = _seq(spark).withColumn(
+        "m", F.expr("transform(tokens, (x, i) -> i % 11 = 0)"))
+    fused = detrend_rollup_fused(seq, "biweight", factor=10,
+                                 window_length=17, mask_col="m").toPandas()
+    chained = rollup_tier10(
+        detrend_sequences(seq, "biweight", keep_tokens=True,
+                          window_length=17, mask_col="m"),
+        factor=10).toPandas()
+    key = ["doc_id", "bucket"]
+    fused = fused.sort_values(key).reset_index(drop=True)
+    chained = chained[list(fused.columns)].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused, chained, check_exact=True)
+    routed = detrend_rollup_fused_auto(seq, "biweight", factor=10,
+                                       chunk_threshold=700,
+                                       window_length=17,
+                                       mask_col="m").toPandas()
+    routed = routed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(routed, fused, check_exact=True)
+
+
+def test_resample_ffill_negative_time_floor_binned(spark):
+    """Bucketing must be floor division: a truncating cast (or Spark's
+    `div`, which also truncates toward zero) folds t in [-9, 9] into one
+    double-width bucket 0, mis-binning every negative timestamp and
+    mislabeling its grid time (round-5b review finding)."""
+    rows = [("k", -15, 1.0), ("k", -5, 2.0), ("k", 5, 3.0), ("k", 15, 4.0)]
+    df = spark.createDataFrame(rows, "key string, t long, y double")
+    out = resample_ffill(df, key="key", t="t", y="y", step=10) \
+        .orderBy("bucket_t").collect()
+    assert [r.bucket_t for r in out] == [-20, -10, 0, 10]
+    assert [r.y_raw for r in out] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_resample_ffill_span_guard_fails_loudly(spark):
+    """A key whose samples span more than max_buckets grid steps must fail
+    loudly instead of materializing the dense grid as one giant sequence()
+    array in a single task."""
+    rows = [("k", 0, 1.0), ("k", 10_000, 2.0)]
+    df = spark.createDataFrame(rows, "key string, t long, y double")
+    import pytest
+
+    with pytest.raises(Exception, match="coarser step"):
+        resample_ffill(df, key="key", t="t", y="y", step=1,
+                       max_buckets=100).collect()
+    # same data, adequate bound: fine
+    n = resample_ffill(df, key="key", t="t", y="y", step=1,
+                       max_buckets=20_000).count()
+    assert n == 10_001

@@ -179,6 +179,34 @@ def clear_block_caches() -> int:
     return n
 
 
+def _register_session_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and track the handle under the
+    session block-cache LRU, so ``clear_block_caches()`` can release it
+    and at most ``_BLOCK_CACHE_LIMIT`` corpus-sized caches stay pinned.
+    A semantically identical already-tracked plan refreshes its LRU
+    position instead of being double-tracked (the two plans share ONE
+    CacheManager entry)."""
+    from pyspark import StorageLevel
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    with _BLOCK_CACHE_LOCK:
+        try:
+            hit = next((i for i, prev in enumerate(_LIVE_BLOCK_CACHE)
+                        if df.sameSemantics(prev)), None)
+        except Exception:
+            hit = None         # stopped session: stale handles, reset
+            _LIVE_BLOCK_CACHE.clear()
+        if hit is not None:
+            _LIVE_BLOCK_CACHE.append(_LIVE_BLOCK_CACHE.pop(hit))
+        else:
+            _LIVE_BLOCK_CACHE.append(df)
+            while len(_LIVE_BLOCK_CACHE) > _BLOCK_CACHE_LIMIT:
+                try:
+                    _LIVE_BLOCK_CACHE.pop(0).unpersist(blocking=False)
+                except Exception:
+                    pass   # already released with its session
+    return df
+
+
 def _capped_pairs(exploded: DataFrame, keys: list[str], member,
                   cap: int = DEFAULT_BUCKET_CAP,
                   max_bucket: int | None = None) -> DataFrame:
@@ -209,8 +237,6 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     boilerplate.  Audit dropped buckets with ``bucket_size_stats`` before
     enabling.  Default None = exact, nothing dropped.
     """
-    from pyspark import StorageLevel
-    blocks = _block_index(exploded, keys, member, cap, max_bucket)
     # three consumers (within + both self-join sides): persist so the
     # bucket index is built once; recomputable lineage (vs localCheckpoint)
     # keeps executor loss survivable at scale.  The cache is session-scoped
@@ -222,23 +248,8 @@ def _capped_pairs(exploded: DataFrame, keys: list[str], member,
     # position (move-to-end) instead of adding a duplicate, so a re-issued
     # plan counts as recent use and eviction of 8 OTHER distinct indexes
     # can't drop the shared cache out from under a pending identical plan.
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    with _BLOCK_CACHE_LOCK:
-        try:
-            hit = next((i for i, prev in enumerate(_LIVE_BLOCK_CACHE)
-                        if blocks.sameSemantics(prev)), None)
-        except Exception:
-            hit = None         # stopped session: stale handles, reset
-            _LIVE_BLOCK_CACHE.clear()
-        if hit is not None:
-            _LIVE_BLOCK_CACHE.append(_LIVE_BLOCK_CACHE.pop(hit))
-        else:
-            _LIVE_BLOCK_CACHE.append(blocks)
-            while len(_LIVE_BLOCK_CACHE) > _BLOCK_CACHE_LIMIT:
-                try:
-                    _LIVE_BLOCK_CACHE.pop(0).unpersist(blocking=False)
-                except Exception:
-                    pass   # already released with its session
+    blocks = _register_session_cache(
+        _block_index(exploded, keys, member, cap, max_bucket))
     within = (blocks.filter(F.size("ms") > 1)
               .select(*keys, F.explode(_bucket_pairs(F.col("ms")))
                       .alias("p")))
@@ -392,9 +403,10 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
     # the shingle subtree is evaluated once, not three times.  MEMORY_AND_DISK
     # keeps recomputable lineage (an executor loss just recomputes the lost
     # partitions), unlike localCheckpoint whose executor-local blocks are
-    # unrecoverable at scale.
-    from pyspark import StorageLevel
-    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    # unrecoverable at scale.  Tracked under the session block-cache LRU —
+    # this frame is corpus-sized, and an untracked persist would stay
+    # pinned for the session with no clear_block_caches() release point.
+    per_doc = _register_session_cache(per_doc)
     # the -1e-9 guards FP-upward drift in t*n: a too-large ceil would
     # shorten the prefix and silently drop true pairs; erring longer only
     # adds candidates (same guard direction in the bounds below: alpha
@@ -683,7 +695,11 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
             .select("vec_id", "embedding").toPandas())
     Q = np.stack([np.asarray(v, dtype=np.float64)
                   for v in qpdf["embedding"]])
-    qn = np.linalg.norm(Q, axis=1)
+    # zero-norm clip (same as every other embedding op): an unclipped 0/0
+    # yields NaN cos_sim, which numpy's lexsort ranks LAST but Spark's
+    # desc window ranks FIRST — the partial and global top-k orderings
+    # would disagree and a zero vector could surface as the top hit
+    qn = np.clip(np.linalg.norm(Q, axis=1), 1e-12, None)
     qids = qpdf["vec_id"].to_numpy()
     scale = float(10 ** round_to)
 
@@ -701,7 +717,8 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
             ids = pdf["vec_id"].to_numpy()[keep.to_numpy()]
             M = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["embedding"][keep]])
-            sims = (M @ Q.T) / (np.linalg.norm(M, axis=1)[:, None]
+            sims = (M @ Q.T) / (np.clip(np.linalg.norm(M, axis=1),
+                                        1e-12, None)[:, None]
                                 * qn[None, :])
             # decimal HALF_UP to match SQL round(): rank on the rounded
             # value so partial and global orderings agree bit-for-bit
@@ -746,7 +763,9 @@ def _rerank_candidates(emb: DataFrame, cand: DataFrame,
                 .select("vec_id", "embedding").toPandas())
     qvecs = {int(i): np.asarray(v, dtype=np.float64)
              for i, v in zip(qpdf["vec_id"], qpdf["embedding"])}
-    qnorm = {i: float(np.linalg.norm(v)) for i, v in qvecs.items()}
+    # zero-norm clip: see cosine_topk — NaN cos_sim inverts the global rank
+    qnorm = {i: max(float(np.linalg.norm(v)), 1e-12)
+             for i, v in qvecs.items()}
     scale = float(10 ** round_to)
 
     scored_schema = StructType([
@@ -761,7 +780,7 @@ def _rerank_candidates(emb: DataFrame, cand: DataFrame,
                 continue
             M = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["embedding"]])
-            nn = np.linalg.norm(M, axis=1)
+            nn = np.clip(np.linalg.norm(M, axis=1), 1e-12, None)
             Q = np.stack([qvecs[int(q)] for q in pdf["query_id"]])
             qn = np.array([qnorm[int(q)] for q in pdf["query_id"]])
             sims = np.einsum("ij,ij->i", M, Q) / (nn * qn)
@@ -1203,8 +1222,13 @@ def pq_codebooks(emb: DataFrame, m: int = 8, n_centroids: int = 16,
     books = np.empty((m, n_centroids, dsub))
     for s in range(m):
         Xs = X[:, s * dsub:(s + 1) * dsub]
-        C = Xs[rng.choice(len(Xs), size=min(n_centroids, len(Xs)),
-                          replace=False)]
+        # a corpus smaller than n_centroids seeds with replacement so the
+        # codebook keeps its full (m, n_centroids, dsub) shape — callers
+        # (AnnIndex._load_model's reshape, pq_encode's argmin) rely on it;
+        # duplicated centroids are harmless (ties resolve to the lowest
+        # index, empty clusters keep their seed)
+        C = Xs[rng.choice(len(Xs), size=n_centroids,
+                          replace=len(Xs) < n_centroids)]
         for _ in range(n_iter):
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -1329,8 +1353,11 @@ def cosine_topk_pq(emb: DataFrame, query_ids: list[int], k: int = 3,
 # ---------------------------------------------------------------------------
 
 def text_stats(docs: DataFrame) -> DataFrame:
-    """Token counts + quality features per doc."""
-    w = _words("text")
+    """Token counts + quality features per doc.  NULL text reads as empty
+    (``_words_safe``): with the NULL-unsafe split, ``size(NULL)`` = -1
+    poisoned every downstream ratio (n_tokens=-1, avg_word_len negative) —
+    these per-doc operators must emit a sane row for every input doc."""
+    w = _words_safe("text")
     n_tokens = F.size(w)
     avg_len = (F.col("n_chars") - (n_tokens - 1)) / n_tokens  # chars per word
     stop_hits = F.size(F.array_intersect(F.array_distinct(w),
@@ -1351,9 +1378,11 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace vs BPE-ish token counts per doc.  The regex mirrors a
     GPT-2-style pretokenizer's split classes (alnum runs vs single
     punctuation marks) in a dialect both Java regex and RE2 accept, so
-    the DuckDB oracle is exact."""
-    w = _words("text")
-    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    the DuckDB oracle is exact.  NULL text reads as empty (size(NULL)
+    would emit -1 counts)."""
+    w = _words_safe("text")
+    bpe = F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")),
+                               F.lit(BPE_TOKEN_RE), 0)
     return docs.select(
         "doc_id",
         F.size(w).alias("n_ws_tokens"),
@@ -1372,8 +1401,10 @@ def tokenize_documents(docs: DataFrame, vocab_size: int = 50257) -> DataFrame:
     reproduces every id bit-exactly (xxhash64 would be faster but is
     Spark-only; tokenization runs once per corpus and the contract here
     is cross-engine determinism).  Map-side only: one corpus scan, no
-    shuffle, column pruning reaches the parquet reader."""
-    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    shuffle, column pruning reaches the parquet reader.  NULL text reads
+    as empty (tokens=[], n_tok=0 — not NULL/-1)."""
+    bpe = F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")),
+                               F.lit(BPE_TOKEN_RE), 0)
     ids = F.transform(bpe, lambda t: (md5_long(t) % vocab_size).cast("int"))
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -1384,8 +1415,10 @@ def tokenize_documents(docs: DataFrame, vocab_size: int = 50257) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language id: share of known-English stopwords among
-    distinct words -> 'en' vs 'other' (deterministic, oracle-friendly)."""
-    w = F.array_distinct(_words("text"))
+    distinct words -> 'en' vs 'other' (deterministic, oracle-friendly).
+    NULL text reads as empty -> stop_ratio 0, 'other' (the NULL-unsafe
+    split gave it size(NULL)/size(NULL) = (-1)/(-1) = 1.0 -> 'en')."""
+    w = F.array_distinct(_words_safe("text"))
     stop_hits = F.size(F.array_intersect(
         w, F.array([F.lit(s) for s in STOPWORDS])))
     ratio = stop_hits / F.size(w)

@@ -60,6 +60,20 @@ def _detrend_one(tokens: np.ndarray, params: dict) -> tuple[np.ndarray, np.ndarr
     return res.flatten_lc, res.trend_lc
 
 
+def _chunk_overlap(params: dict) -> int:
+    """Overlap (in tokens) that makes a chunk's core slice detrend exactly
+    as the full series would: window_length + break_tolerance, ceiled, +1.
+    ONE definition, shared by ``detrend_sequences_chunked`` and the fused
+    rollup's chunked pass — the defaults here must stay in lockstep with
+    ``detrend_series`` or chunked output silently diverges from
+    unchunked."""
+    wl = params.get("window_length") or 2
+    bt = params.get("break_tolerance")
+    if bt is None:
+        bt = wl / 2
+    return int(math.ceil(wl + bt)) + 1
+
+
 def detrend_sequences(df: DataFrame, method: str = "biweight",
                       keep_tokens: bool = False,
                       mask_col: str | None = None,
@@ -271,12 +285,8 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
     original arrays bit-exactly (the per-row invariant).
     """
     params = dict(params, method=method)
-    wl = params.get("window_length") or 2
-    bt = params.get("break_tolerance")
-    if bt is None:
-        bt = wl / 2
     if overlap is None:
-        overlap = int(math.ceil(wl + bt)) + 1
+        overlap = _chunk_overlap(params)
 
     chunks = split_chunks(df, chunk_size, overlap)
     # salt: spread one doc's chunks across tasks by (doc_id, chunk_id) hash.

@@ -76,86 +76,99 @@ def _bucket_stats(v: np.ndarray, factor: int, with_median: bool = True):
     return ids, cnt, s, mean, meds, mins, maxs
 
 
+_TIER_KEYS = ("bucket", "n", "y_sum", "y_mean", "y_median", "y_min",
+              "y_max", "trend_n", "trend_sum", "trend_mean", "flat_n",
+              "flat_sum", "flat_mean")
+
+
+def _tier_arrays(y: np.ndarray, flat: np.ndarray, trend: np.ndarray,
+                 factor: int, b0: int = 0) -> tuple:
+    """The 13 ``TIER_SCHEMA`` column arrays for one series (bucket ids
+    offset by ``b0`` for chunked cores) — the ONE definition of the
+    tier-row layout, shared by the chained, fused and chunked passes
+    (three hand-copied assembly loops had already started drifting)."""
+    ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(y, factor)
+    _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
+        trend, factor, with_median=False)
+    _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
+        flat, factor, with_median=False)
+    return (ids + b0 if b0 else ids, cnt, ysum, ymean, ymed, ymin, ymax,
+            tcnt, tsum, tmean, fcnt, fsum, fmean)
+
+
+def _tier_frame(doc_ids: list, rows: list) -> pd.DataFrame:
+    """Concatenate per-series (repeated doc_id, 13-column tuple) rows into
+    one ``TIER_SCHEMA`` pandas frame; empty-batch safe."""
+    if not doc_ids:
+        return pd.DataFrame({k: [] for k in ("doc_id",) + _TIER_KEYS})
+    out = {"doc_id": np.concatenate(doc_ids)}
+    for i, k in enumerate(_TIER_KEYS):
+        out[k] = np.concatenate([r[i] for r in rows])
+    return pd.DataFrame(out)
+
+
 def rollup_tier10(detrended: DataFrame, factor: int = 10) -> DataFrame:
     """Packed detrended output -> tier-10 bucket rows.  No shuffle: bucket
     aggregation is within-series."""
 
     def roll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parts: dict[str, list[np.ndarray]] = {
-                k: [] for k in ("bucket", "n", "y_sum", "y_mean", "y_median",
-                                "y_min", "y_max", "trend_n", "trend_sum",
-                                "trend_mean", "flat_n", "flat_sum",
-                                "flat_mean")}
             doc_ids: list[np.ndarray] = []
+            rows: list[tuple] = []
             for doc_id, tokens, flat, trend in zip(
                     pdf["doc_id"], pdf["tokens"], pdf["flat"], pdf["trend"]):
                 y = decode_tokens(np.asarray(tokens, dtype=np.int32))
-                flat = np.asarray(flat, dtype=np.float64)
-                trend = np.asarray(trend, dtype=np.float64)
-                ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(
-                    y, factor)
-                _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
-                    trend, factor, with_median=False)
-                _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
-                    flat, factor, with_median=False)
-                doc_ids.append(np.repeat(doc_id, len(ids)))
-                for key, arr in (("bucket", ids), ("n", cnt),
-                                 ("y_sum", ysum), ("y_mean", ymean),
-                                 ("y_median", ymed), ("y_min", ymin),
-                                 ("y_max", ymax), ("trend_n", tcnt),
-                                 ("trend_sum", tsum), ("trend_mean", tmean),
-                                 ("flat_n", fcnt), ("flat_sum", fsum),
-                                 ("flat_mean", fmean)):
-                    parts[key].append(arr)
-            if not doc_ids:
-                yield pd.DataFrame(
-                    {k: [] for k in ["doc_id"] + list(parts)})
-                continue
-            out = {"doc_id": np.concatenate(doc_ids)}
-            out.update({k: np.concatenate(v) for k, v in parts.items()})
-            yield pd.DataFrame(out)
+                cols = _tier_arrays(y, np.asarray(flat, dtype=np.float64),
+                                    np.asarray(trend, dtype=np.float64),
+                                    factor)
+                doc_ids.append(np.repeat(doc_id, len(cols[0])))
+                rows.append(cols)
+            yield _tier_frame(doc_ids, rows)
 
     return detrended.mapInPandas(roll, schema=TIER_SCHEMA)
 
 
 def detrend_rollup_fused(df: DataFrame, method: str = "biweight",
-                         factor: int = 10, **params) -> DataFrame:
+                         factor: int = 10, mask_col: str | None = None,
+                         mask_transit: tuple[float, float, float]
+                         | None = None, **params) -> DataFrame:
     """Fused detrend + tier rollup in ONE ``mapInPandas`` pass: half the
     Arrow traffic of chaining the two operators (the full-resolution
     flat/trend arrays never cross back into the JVM), zero shuffle.  The
-    pipeline hot path when only tier tables are needed."""
+    pipeline hot path when only tier tables are needed.
+
+    ``mask_col`` / ``mask_transit`` carry the known-signal mask exactly as
+    in ``detrend_sequences`` (they become the per-row ``mask`` kernel
+    parameter; forwarding them into the kernel verbatim was a crash —
+    round-5b review finding)."""
     from wotan_spark.spark.detrend_op import _detrend_one
     params = dict(params, method=method)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys = ("bucket", "n", "y_sum", "y_mean", "y_median", "y_min",
-                "y_max", "trend_n", "trend_sum", "trend_mean", "flat_n",
-                "flat_sum", "flat_mean")
+        from wotan_spark.kernels.series import transit_mask as _tmask
+
         for pdf in batches:
-            parts: dict[str, list[np.ndarray]] = {k: [] for k in keys}
+            if mask_col is not None:
+                masks = [np.asarray(m, dtype=bool) for m in pdf[mask_col]]
+            elif mask_transit is not None:
+                period, duration, t0 = mask_transit
+                masks = [_tmask(np.arange(len(toks), dtype=np.float64),
+                                period, duration, t0)
+                         for toks in pdf["tokens"]]
+            else:
+                masks = None
             doc_ids: list[np.ndarray] = []
-            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+            rows: list[tuple] = []
+            for row_i, (doc_id, toks) in enumerate(zip(pdf["doc_id"],
+                                                       pdf["tokens"])):
                 toks = np.asarray(toks, dtype=np.int32)
-                flat, trend = _detrend_one(toks, params)
-                y = decode_tokens(toks)
-                ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(
-                    y, factor)
-                _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
-                    trend, factor, with_median=False)
-                _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
-                    flat, factor, with_median=False)
-                doc_ids.append(np.repeat(doc_id, len(ids)))
-                for key, arr in zip(keys, (ids, cnt, ysum, ymean, ymed, ymin,
-                                           ymax, tcnt, tsum, tmean, fcnt,
-                                           fsum, fmean)):
-                    parts[key].append(arr)
-            if not doc_ids:
-                yield pd.DataFrame({k: [] for k in ("doc_id",) + keys})
-                continue
-            out = {"doc_id": np.concatenate(doc_ids)}
-            out.update({k: np.concatenate(v) for k, v in parts.items()})
-            yield pd.DataFrame(out)
+                p = (params if masks is None
+                     else dict(params, mask=masks[row_i]))
+                flat, trend = _detrend_one(toks, p)
+                cols = _tier_arrays(decode_tokens(toks), flat, trend, factor)
+                doc_ids.append(np.repeat(doc_id, len(cols[0])))
+                rows.append(cols)
+            yield _tier_frame(doc_ids, rows)
 
     return df.mapInPandas(run, schema=TIER_SCHEMA)
 
@@ -178,27 +191,25 @@ def detrend_rollup_fused_auto(df: DataFrame, method: str = "biweight",
     flat/trend array is ever shuffled or reassembled.  Exactness vs the
     unchunked fused pass is pytest-asserted column-for-column.
     """
-    import math as _math
-
     from wotan_spark.spark.detrend_op import (_CHUNKABLE_METHODS,
                                               AUTO_CHUNK_THRESHOLD,
-                                              _detrend_one, split_chunks)
+                                              _chunk_overlap, _detrend_one,
+                                              split_chunks)
 
     if chunk_threshold is None:
         chunk_threshold = AUTO_CHUNK_THRESHOLD
     if method not in _CHUNKABLE_METHODS or "mask_col" in params \
             or "mask_transit" in params:
+        # masked runs take the unchunked fused pass, which handles the
+        # mask kwargs itself (a mask's irregular NaN pattern breaks the
+        # chunk-core exactness argument)
         return detrend_rollup_fused(df, method, factor=factor, **params)
     if chunk_size is None:
         chunk_size = chunk_threshold
     chunk_size = max(factor, (chunk_size // factor) * factor)  # bucket-align
 
     run_params = dict(params, method=method)
-    wl = run_params.get("window_length") or 2
-    bt = run_params.get("break_tolerance")
-    if bt is None:
-        bt = wl / 2
-    overlap = int(_math.ceil(wl + bt)) + 1
+    overlap = _chunk_overlap(run_params)
 
     short = df.filter(F.col("n_tok") <= chunk_threshold)
     long_ = df.filter(F.col("n_tok") > chunk_threshold)
@@ -212,37 +223,21 @@ def detrend_rollup_fused_auto(df: DataFrame, method: str = "biweight",
                                 F.col("doc_id"), F.col("chunk_id"))
 
     def roll_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys = ("bucket", "n", "y_sum", "y_mean", "y_median", "y_min",
-                "y_max", "trend_n", "trend_sum", "trend_mean", "flat_n",
-                "flat_sum", "flat_mean")
         for pdf in batches:
-            parts: dict[str, list[np.ndarray]] = {k: [] for k in keys}
             doc_ids: list[np.ndarray] = []
+            rows: list[tuple] = []
             for doc_id, toks, t0, lead, core in zip(
                     pdf["doc_id"], pdf["tokens"], pdf["t0"], pdf["lead"],
                     pdf["core"]):
                 toks = np.asarray(toks, dtype=np.int32)
                 flat, trend = _detrend_one(toks, run_params)
                 sl = slice(int(lead), int(lead) + int(core))
-                y = decode_tokens(toks[sl])
-                b0 = int(t0) // factor   # t0 is bucket-aligned
-                ids, cnt, ysum, ymean, ymed, ymin, ymax = _bucket_stats(
-                    y, factor)
-                _, tcnt, tsum, tmean, _, _, _ = _bucket_stats(
-                    trend[sl], factor, with_median=False)
-                _, fcnt, fsum, fmean, _, _, _ = _bucket_stats(
-                    flat[sl], factor, with_median=False)
-                doc_ids.append(np.repeat(doc_id, len(ids)))
-                for key, arr in zip(keys, (ids + b0, cnt, ysum, ymean, ymed,
-                                           ymin, ymax, tcnt, tsum, tmean,
-                                           fcnt, fsum, fmean)):
-                    parts[key].append(arr)
-            if not doc_ids:
-                yield pd.DataFrame({k: [] for k in ("doc_id",) + keys})
-                continue
-            out = {"doc_id": np.concatenate(doc_ids)}
-            out.update({k: np.concatenate(v) for k, v in parts.items()})
-            yield pd.DataFrame(out)
+                cols = _tier_arrays(decode_tokens(toks[sl]), flat[sl],
+                                    trend[sl], factor,
+                                    b0=int(t0) // factor)  # t0 bucket-aligned
+                doc_ids.append(np.repeat(doc_id, len(cols[0])))
+                rows.append(cols)
+            yield _tier_frame(doc_ids, rows)
 
     long_tiers = chunks.mapInPandas(roll_chunk, schema=TIER_SCHEMA)
     return detrend_rollup_fused(short, method, factor=factor,
