@@ -561,3 +561,150 @@ def test_pipeline_stop_after_periods_fails_fast(spark, tmp_path):
     # no stage past ingestion committed anything
     assert p.tables["detrended"].current_snapshot_id() is None
     assert p.tables["tier10"].current_snapshot_id() is None
+
+
+def test_update_incremental_redelivery_replaces(spark, tmp_path):
+    """A re-delivered doc_id REPLACES its stored sequence row (corrected
+    copy): a blind append left two rows and merge_changed committed
+    duplicate (doc_id, bucket) tier rows that double-counted the doc
+    forever (round-5b review finding).  Intra-batch duplicates raise."""
+    import pytest
+
+    seq = synth_sequences(spark, 8, median_len=120, max_len=300)
+    cfg = PipelineConfig(method="mean", window_length=17)
+    p = Pipeline(spark, str(tmp_path / "p"), cfg)
+    p.run(sequences=seq)
+    n0 = p.tables["sequences"].read(spark).count()
+
+    # corrected copy of one existing doc: tokens shifted by one bucket
+    one = seq.limit(1)
+    fixed = one.select("doc_id",
+                       F.expr("slice(tokens, 1, 50)").alias("tokens"),
+                       F.lit(50).cast("int").alias("n_tok"), "source")
+    p.update_incremental(fixed, run_id="fix-1")
+    assert p.tables["sequences"].read(spark).count() == n0  # replaced
+    doc = fixed.first().doc_id
+    t10 = p.tables["tier10"].read(spark).filter(F.col("doc_id") == doc)
+    per_bucket = (t10.groupBy("bucket").count()
+                  .filter(F.col("count") > 1).count())
+    assert per_bucket == 0                                  # no dup rows
+    assert t10.count() == 5                                 # 50 tokens / 10
+
+    dup_batch = fixed.union(fixed)
+    with pytest.raises(ValueError, match="times"):
+        p.update_incremental(dup_batch, run_id="fix-2")
+
+
+def test_full_stages_go_stale_after_incremental(spark, tmp_path):
+    """detrended/blocks cannot be merge-maintained, so after
+    update_incremental they must be recomputed by the next run() — they
+    previously stayed 'done' forever and silently excluded late docs."""
+    seq = synth_sequences(spark, 6, median_len=120, max_len=300)
+    cfg = PipelineConfig(method="mean", window_length=17)
+    p = Pipeline(spark, str(tmp_path / "p"), cfg)
+    p.run(sequences=seq)
+
+    late = (synth_sequences(spark, 8, median_len=120, max_len=300)
+            .orderBy("doc_id").limit(8)
+            .filter(~F.col("doc_id").isin(
+                [r.doc_id for r in seq.select("doc_id").collect()])))
+    assert late.count() > 0
+    p.update_incremental(late, run_id="late-1")
+
+    out = p.run()
+    assert "detrended" in out and "blocks" in out      # stale -> recomputed
+    assert "tier10" not in out                         # maintained: done
+    det_docs = {r.doc_id for r in p.tables["detrended"].read(spark)
+                .select("doc_id").distinct().collect()}
+    assert {r.doc_id for r in late.collect()} <= det_docs
+
+
+def test_ingest_content_fingerprint(spark, tmp_path):
+    """run(sequences=different_frame) must re-ingest and rebuild (the
+    constant 'input' fingerprint silently DISCARDED the new data);
+    replaying the identical frame stays a no-op."""
+    a = synth_sequences(spark, 5, median_len=100, max_len=200)
+    b = synth_sequences(spark, 9, median_len=100, max_len=200)
+    cfg = PipelineConfig(method="mean", window_length=17)
+    p = Pipeline(spark, str(tmp_path / "p"), cfg)
+    p.run(sequences=a)
+    assert p.tables["sequences"].read(spark).count() == 5
+    out2 = p.run(sequences=b)                  # DIFFERENT corpus
+    assert "sequences" in out2 and "tier10" in out2
+    assert p.tables["sequences"].read(spark).count() == 9
+    assert (p.tables["tier10"].read(spark).select("doc_id").distinct()
+            .count() == 9)
+    out3 = p.run(sequences=b)                  # identical replay: no-op
+    assert "tier10" not in out3 and "detrended" not in out3
+
+
+def test_run_rejects_unknown_stop_after(spark, tmp_path):
+    import pytest
+
+    seq = synth_sequences(spark, 3, median_len=100, max_len=200)
+    p = Pipeline(spark, str(tmp_path / "p"),
+                 PipelineConfig(method="mean", window_length=17))
+    with pytest.raises(ValueError, match="stop_after"):
+        p.run(sequences=seq, stop_after="tier-10")
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """compact() must mergeSchema-read: schema evolution via append is a
+    supported write, and a plain read took one arbitrary footer's schema,
+    silently dropping the evolved column from the rewritten snapshot."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    t.append(spark.createDataFrame([(2, 20.0, "x")],
+                                   "k long, v double, extra string"))
+    t.compact(spark, target_file_rows=10)
+    got = t.read(spark, merge_schema=True)
+    assert "extra" in got.columns
+    vals = {r.k: r.extra for r in got.collect()}
+    assert vals == {1: None, 2: "x"}
+
+
+def test_read_where_stringified_stats_no_crash(spark, tmp_path):
+    """File stats round-trip through JSON as strings for date columns;
+    read(where=) must treat them as unprunable instead of raising
+    TypeError on str-vs-date comparison."""
+    import datetime
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(datetime.date(2024, 1, d), float(d)) for d in range(1, 9)]
+    t.overwrite(spark.createDataFrame(rows, "d date, v double"))
+    out = t.read(spark, where=("d", datetime.date(2024, 1, 2),
+                               datetime.date(2024, 1, 3)))
+    assert out.count() == 2
+
+
+def test_file_stats_poisoned_by_statless_row_group(spark, tmp_path):
+    """A row group without min/max for a column must remove that column's
+    file-level bounds entirely — partial bounds under-cover the file and
+    make pruning drop rows that live in the skipped row group."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    del np  # noqa: F841 — binary stats, not NaN, trigger the skip path
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d = os.path.join(t.root, "data", "manual")
+    os.makedirs(d)
+    # row group 1: clean; row group 2: binary stats that fail UTF-8 decode
+    # (the writer records min/max bytes, the stats reader cannot compare
+    # them -> must poison the column, not keep row group 1's bounds)
+    tab1 = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "v": pa.array([b"aa", b"bb"], pa.binary())})
+    tab2 = pa.table({"k": pa.array([3, 4], pa.int64()),
+                     "v": pa.array([b"\xff\xfe", b"\xff\xff"], pa.binary())})
+    with pq.ParquetWriter(os.path.join(d, "part-0.parquet"), tab1.schema) \
+            as w:
+        w.write_table(tab1)
+        w.write_table(tab2)
+    t._write_file_stats(d)
+    stats = json.load(open(os.path.join(d, "_file_stats.json")))
+    cols = stats["part-0.parquet"]["columns"]
+    assert "k" in cols and cols["k"] == [1, 4]
+    assert "v" not in cols      # poisoned, not partial

@@ -371,25 +371,34 @@ class SnapshotTable:
                 continue
             meta = pq.read_metadata(os.path.join(d, fn))
             cols: dict[str, list] = {}
+            # a row group with missing/undecodable stats must POISON the
+            # column's file-level bounds, not merely contribute nothing:
+            # partial bounds under-cover the file and pruning on them
+            # wrongly drops rows that live in the skipped row group
+            bad: set[str] = set()
             for rg in range(meta.num_row_groups):
                 g = meta.row_group(rg)
                 for ci in range(g.num_columns):
                     col = g.column(ci)
+                    name = col.path_in_schema
                     st = col.statistics
                     if st is None or not st.has_min_max:
+                        bad.add(name)
                         continue
                     lo, hi = st.min, st.max
                     if isinstance(lo, bytes):
                         try:
                             lo, hi = lo.decode(), hi.decode()
                         except UnicodeDecodeError:
+                            bad.add(name)
                             continue
-                    name = col.path_in_schema
                     if name in cols:
                         cols[name] = [min(cols[name][0], lo),
                                       max(cols[name][1], hi)]
                     else:
                         cols[name] = [lo, hi]
+            for name in bad:
+                cols.pop(name, None)
             stats[fn] = {"rows": meta.num_rows, "columns": cols}
         with open(os.path.join(d, "_file_stats.json"), "w") as f:
             json.dump(stats, f, default=str)
@@ -594,7 +603,11 @@ class SnapshotTable:
         a small-file generation, and scan cost is per-FILE as much as
         per-byte (task scheduling, footer reads, stats entries).
         """
-        cur = self.read(spark)
+        # mergeSchema: append-based schema evolution is a supported write,
+        # so a snapshot can hold mixed-schema dirs — a plain read takes one
+        # arbitrary footer's schema and the rewrite would silently drop the
+        # evolved columns (permanently, once expiry reclaims the old dirs)
+        cur = self.read(spark, merge_schema=True)
         if cur is None:
             raise ValueError("nothing to compact")
         n_rows = cur.count()
@@ -682,6 +695,17 @@ class SnapshotTable:
         if where is None:
             return reader.parquet(*dirs)
         col, lo, hi = where
+
+        def _outside(c) -> bool:
+            try:
+                return c[1] < lo or c[0] > hi
+            except TypeError:
+                # stats round-trip through JSON as strings for date/
+                # decimal/... types: incomparable with the native bound ->
+                # cannot PROVE disjoint, keep the file (merge_buckets'
+                # _disjoint has the same guard)
+                return False
+
         paths, pruned = [], 0
         for d in dirs:
             stats = self._load_stats(d)
@@ -689,13 +713,19 @@ class SnapshotTable:
                 if not fn.endswith(".parquet"):
                     continue
                 c = (stats or {}).get(fn, {}).get("columns", {}).get(col)
-                if c is not None and (c[1] < lo or c[0] > hi):
+                if c is not None and _outside(c):
                     pruned += 1
                     continue
                 paths.append(os.path.join(d, fn))
         self.last_scan = {"files_read": len(paths), "files_pruned": pruned}
         if not paths:
-            schema = reader.parquet(*dirs).schema
+            # schema only: one dir's footers suffice (inferring over every
+            # data dir made each empty-result probe — e.g. a streaming
+            # dedup probe whose batch range misses all files — an
+            # O(table) metadata scan); with merge_schema the union over
+            # all dirs IS the contract, so that path keeps the full list
+            schema = reader.parquet(
+                *(dirs if merge_schema else dirs[:1])).schema
             return spark.createDataFrame([], schema)
         from pyspark.sql import functions as F
         return (reader.parquet(*paths)

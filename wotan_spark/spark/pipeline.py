@@ -190,11 +190,42 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def ingest(self, sequences: DataFrame, run_id: str) -> int:
-        fp = "input"
+        """Idempotent base-corpus ingest: the stage fingerprint is the
+        INPUT CONTENT (order-independent row count + hash), so replaying
+        the same frame is a no-op while a DIFFERENT frame re-ingests
+        (overwrite) and, through ``_base_fp``, invalidates every
+        downstream stage.  The old constant fingerprint silently
+        DISCARDED new data on re-run.  Note a re-ingest replaces the
+        whole sequences table, including batches landed by
+        ``update_incremental`` — it means "rebuild over this base
+        corpus".  Costs one aggregate scan of the input per call."""
+        from wotan_spark.spark.lakehouse import delta_fingerprint
+        d = delta_fingerprint(sequences)
+        fp = f"input-r{d['delta_fp_rows']}-h{d['delta_fp_hash']}"
         if self._stage_done("sequences", fp):
             return self.tables["sequences"].current_snapshot_id()
         t0 = time.time()
         return self._commit_stage("sequences", sequences, fp, None, run_id, t0)
+
+    def _base_fp(self) -> str:
+        """The sequences table's newest ingest fingerprint (incremental
+        appends/merges carry no ``fingerprint`` key, so this is stable
+        across maintenance and changes exactly when the BASE corpus
+        does).  Stamped into the maintained stages' fingerprints: a
+        maintained table stays 'done' across incremental growth but goes
+        stale — and rebuilds — when the base corpus is re-ingested."""
+        for m in reversed(self.tables["sequences"].snapshots()):
+            fp = m.get("meta", {}).get("fingerprint")
+            if fp is not None:
+                return fp
+        return "input"
+
+    def _maintained_fp(self, family_fp: str) -> str:
+        """Fingerprint for MERGE-maintained stages (tiers, sketches,
+        periods): config identity + base-corpus identity.  Incremental
+        merges re-stamp it (staying 'done'); a base re-ingest changes it
+        (full rebuild)."""
+        return f"{family_fp}-{self._base_fp()}"
 
     def run(self, sequences: DataFrame | None = None,
             run_id: str | None = None, stop_after: str | None = None) -> dict:
@@ -203,6 +234,13 @@ class Pipeline:
         cfg = self.config
         fp = cfg.fingerprint()
         out: dict[str, int] = {}
+
+        if stop_after is not None and stop_after not in (
+                "chunks", "detrended", "tier10", "tier100", "sketches",
+                "periods"):
+            # an unknown name silently matched NO return point and ran the
+            # whole pipeline — fail before any stage does hours of work
+            raise ValueError(f"unknown stop_after {stop_after!r}")
 
         if sequences is not None:
             out["sequences"] = self.ingest(sequences, run_id)
@@ -242,34 +280,42 @@ class Pipeline:
         if stop_after == "chunks":
             return out
 
-        if not self._stage_done("detrended", fp):
+        # detrended/blocks are full-recompute stages (a per-doc
+        # full-resolution output cannot be maintained by the tier merges),
+        # so like chunks their fingerprints carry the input snapshot: any
+        # sequences growth — ingest OR update_incremental — marks them
+        # stale for the next run() instead of leaving them silently
+        # missing the late docs while reported 'done'
+        dfp = f"{fp}-in{seq_sid}"
+        if not self._stage_done("detrended", dfp):
             t0 = time.time()
             # auto skew routing (north_rule): long-tail docs are chunked +
             # salted across tasks instead of pinning one straggler task
             det = detrend_sequences_auto(seq_df, method=cfg.method,
                                          window_length=cfg.window_length,
                                          keep_tokens=True, **cfg.params)
-            out["detrended"] = self._commit_stage("detrended", det, fp,
+            out["detrended"] = self._commit_stage("detrended", det, dfp,
                                                   seq_sid, run_id, t0)
         if stop_after == "detrended":
             return out
         det_df = self.tables["detrended"].read(self.spark)
         det_sid = self.tables["detrended"].current_snapshot_id()
 
-        if not self._stage_done("tier10", fp):
+        tfp = self._maintained_fp(fp)
+        if not self._stage_done("tier10", tfp):
             t0 = time.time()
             t10 = rollup_tier10(det_df, factor=cfg.tier_factor)
-            out["tier10"] = self._commit_stage("tier10", t10, fp, det_sid,
+            out["tier10"] = self._commit_stage("tier10", t10, tfp, det_sid,
                                                run_id, t0)
         if stop_after == "tier10":
             return out
 
-        if not self._stage_done("tier100", fp):
+        if not self._stage_done("tier100", tfp):
             t0 = time.time()
             t10_df = self.tables["tier10"].read(self.spark)
             t100 = cascade_tier(t10_df, step=cfg.tier_factor)
             out["tier100"] = self._commit_stage(
-                "tier100", t100, fp,
+                "tier100", t100, tfp,
                 self.tables["tier10"].current_snapshot_id(), run_id, t0)
         if stop_after == "tier100":
             return out
@@ -279,7 +325,7 @@ class Pipeline:
             return out
 
         if cfg.periodogram_topk:
-            pfp = cfg.period_fingerprint()
+            pfp = self._maintained_fp(cfg.period_fingerprint())
             if not self._stage_done("periods", pfp):
                 t0 = time.time()
                 from wotan_spark.spark.periodogram import dominant_periods
@@ -290,13 +336,14 @@ class Pipeline:
         if stop_after == "periods":
             return out
 
-        if not self._stage_done("blocks", fp):
+        bfp = f"{fp}-in{det_sid}"
+        if not self._stage_done("blocks", bfp):
             t0 = time.time()
             blocks = encode_blocks(det_df.select("doc_id", "flat"),
                                    column="flat", codec="gorilla", tier=0,
                                    block_size=cfg.block_size)
-            out["blocks"] = self._commit_stage("blocks", blocks, fp, det_sid,
-                                               run_id, t0)
+            out["blocks"] = self._commit_stage("blocks", blocks, bfp,
+                                               det_sid, run_id, t0)
         return out
 
     # ------------------------------------------------------------------
@@ -309,7 +356,8 @@ class Pipeline:
             from wotan_spark.spark.histogram import (cascade_histogram,
                                                      tier_histogram)
             fams.append((
-                "hist10", "hist100", cfg.sketch_fingerprint("hist"),
+                "hist10", "hist100",
+                self._maintained_fp(cfg.sketch_fingerprint("hist")),
                 lambda df: tier_histogram(df, factor=cfg.tier_factor,
                                           n_bins=cfg.sketch_bins,
                                           lo=cfg.sketch_lo,
@@ -320,14 +368,15 @@ class Pipeline:
                                                     tier_distinct)
             fams.append((
                 "distinct10", "distinct100",
-                cfg.sketch_fingerprint("distinct"),
+                self._maintained_fp(cfg.sketch_fingerprint("distinct")),
                 lambda df: tier_distinct(df, factor=cfg.tier_factor,
                                          lgk=cfg.sketch_lgk),
                 lambda df: cascade_distinct(df, step=cfg.tier_factor)))
         if cfg.sketch_topk:
             from wotan_spark.spark.freq import cascade_topk, tier_topk
             fams.append((
-                "topk10", "topk100", cfg.sketch_fingerprint("topk"),
+                "topk10", "topk100",
+                self._maintained_fp(cfg.sketch_fingerprint("topk")),
                 lambda df: tier_topk(df, factor=cfg.tier_factor,
                                      max_items=cfg.sketch_max_items),
                 lambda df: cascade_topk(df, step=cfg.tier_factor,
@@ -428,10 +477,25 @@ class Pipeline:
         Late rows OLDER than a table's committed retention cutoff are
         dropped before the merge: without the gate, a straggler sequence
         would silently resurrect aged-out buckets that every earlier
-        reader has already seen disappear."""
+        reader has already seen disappear.
+
+        Sequence identity: a re-delivered doc_id REPLACES its stored row
+        (keyed merge — a blind append left two sequence rows, and
+        merge_changed then committed duplicate (doc_id, bucket) tier rows
+        that double-counted the doc forever); a doc_id duplicated WITHIN
+        the batch fails loudly, same discipline as the index
+        maintainers."""
+        import pyspark.sql.functions as F
         run_id = run_id or f"inc-{int(time.time())}"
-        self.tables["sequences"].append(new_sequences, run_id=run_id,
-                                        incremental=True)
+        dup = (new_sequences.groupBy("doc_id").count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"doc_id {dup[0][0]} appears {dup[0][1]} times in this "
+                "batch — deduplicate the batch before update_incremental()")
+        self.tables["sequences"].merge_buckets(
+            self.spark, new_sequences, keys=["doc_id"], run_id=run_id,
+            incremental=True)
         return self.merge_changed(new_sequences.select("doc_id"), run_id)
 
     def merge_changed(self, changed_docs: DataFrame, run_id: str) -> dict:
@@ -479,19 +543,25 @@ class Pipeline:
             meta = {"run_id": run_id}
             if self._stage_done(name, fp):
                 meta["fingerprint"] = fp
+            # DOC-level replace, not (doc_id, bucket): the batch holds the
+            # doc's complete recomputed row set, and a corrected doc that
+            # SHRANK must drop its stale tail buckets — a bucket-keyed
+            # upsert left them as phantoms (and bucket-range file pruning
+            # could keep a file holding exactly those phantoms verbatim)
             return self.tables[name].merge_buckets(
-                self.spark, df, keys=["doc_id", "bucket"], **meta)
+                self.spark, df, keys=["doc_id"], **meta)
 
         t10_full = detrend_rollup_fused_auto(
             seq_changed, cfg.method, factor=factor,
             window_length=cfg.window_length, **cfg.params).persist()
         try:
             sid10 = _merge("tier10", _gate("tier10", t10_full),
-                           cfg.fingerprint())
+                           self._maintained_fp(cfg.fingerprint()))
             t100_new = _gate("tier100",
                              cascade_tier(_coarse_src(t10_full, "tier10"),
                                           step=factor))
-            sid100 = _merge("tier100", t100_new, cfg.fingerprint())
+            sid100 = _merge("tier100", t100_new,
+                            self._maintained_fp(cfg.fingerprint()))
         finally:
             t10_full.unpersist()
         # sketch tiers upsert the same way: fine rows behind the exact
@@ -514,7 +584,7 @@ class Pipeline:
         # when-done rule as the other merges
         if cfg.periodogram_topk:
             from wotan_spark.spark.periodogram import dominant_periods
-            pfp = cfg.period_fingerprint()
+            pfp = self._maintained_fp(cfg.period_fingerprint())
             pmeta = {"run_id": run_id}
             if self._stage_done("periods", pfp):
                 pmeta["fingerprint"] = pfp
@@ -522,7 +592,7 @@ class Pipeline:
                                    top_k=cfg.periodogram_topk,
                                    n_freqs=cfg.periodogram_freqs)
             sketch_sids["periods"] = self.tables["periods"].merge_buckets(
-                self.spark, per, keys=["doc_id", "rank"], **pmeta)
+                self.spark, per, keys=["doc_id"], **pmeta)
         wall = time.time() - t0
         lineage = _file_lineage(self.tables["tier10"], sid10, seq_sid,
                                 run_id, "tier10-incremental", wall)

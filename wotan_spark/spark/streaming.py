@@ -31,7 +31,9 @@ def stream_sequences(spark: SparkSession, landing_dir: str,
                      max_files_per_trigger: int | None = None) -> DataFrame:
     reader = (spark.readStream.schema(SEQUENCES_SCHEMA)
               .format("parquet"))
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: an explicit 0 must reach Spark and be
+    # rejected loudly, not silently mean "unlimited"
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(landing_dir)
 
@@ -59,7 +61,10 @@ def run_ingestion(spark: SparkSession, landing_dir: str, table_root: str,
         cut = retention_cutoff(tier_table)
         if cut is not None:
             t10 = t10.filter(F.col("bucket") >= cut)
-        tier_table.merge_buckets(spark, t10, keys=["doc_id", "bucket"],
+        # doc-level replace (see pipeline.merge_changed): the batch holds
+        # each doc's complete recomputed tier rows, and a corrected doc
+        # that shrank must drop its stale tail buckets
+        tier_table.merge_buckets(spark, t10, keys=["doc_id"],
                                  stream_batch=batch_id)
 
     q = (stream.writeStream
