@@ -235,3 +235,64 @@ def test_frame_sample_passes_images_through(spark):
     for mid, r in got.items():
         if orig[mid].modality == "image":
             assert len(bytes(r.payload)) == 64
+
+
+def test_resize_media_rgb_payload(spark):
+    """resize_media must handle multi-channel images — the built-in PNG
+    decoder itself emits h*w*3 samples for RGB (a (h, w) reshape crashed
+    the whole Arrow batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from wotan_spark.codecs.png import encode_png
+    from wotan_spark.spark.multimodal import MEDIA_SCHEMA, resize_media
+
+    h, w = 6, 5
+    px = (np.arange(h * w * 3, dtype=np.uint8)).reshape(h, w * 3)
+    row = ("m-rgb", "image", "png", w, h, None, None,
+           bytearray(encode_png(px, channels=3)))
+    media = spark.createDataFrame(
+        pd.DataFrame([row], columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA)
+    out = resize_media(media, out_w=3, out_h=2).collect()[0]
+    assert out.width == 3 and out.height == 2 and out.codec == "raw"
+    got = np.frombuffer(bytes(out.payload), dtype=np.uint8)
+    assert got.size == 2 * 3 * 3                      # h*w*channels
+    img = px.reshape(h, w, 3)
+    yi = (np.arange(2) * h) // 2
+    xi = (np.arange(3) * w) // 3
+    assert (got.reshape(2, 3, 3) == img[np.ix_(yi, xi)]).all()
+
+
+def test_frame_sample_audio_metadata_consistent(spark):
+    """Audio decimation must (a) keep whole FRAMES when n_frames divides
+    the payload (a flat stride scrambles interleaved channels) and
+    (b) divide the stored sample_rate — unchanged metadata made every
+    downstream duration computation wrong by `every`."""
+    import numpy as np
+    import pandas as pd
+
+    from wotan_spark.spark.multimodal import MEDIA_SCHEMA, frame_sample
+
+    arr = np.arange(16, dtype=np.uint8)     # 8 frames x 2 channels
+    row = ("m-au", "audio", "raw", None, None, 8000, 8,
+           bytearray(arr.tobytes()))
+    media = spark.createDataFrame(
+        pd.DataFrame([row], columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA)
+    out = frame_sample(media, every=2).collect()[0]
+    got = np.frombuffer(bytes(out.payload), dtype=np.uint8)
+    # frames 0,2,4,6 kept WHOLE (channel pairs intact)
+    assert got.tolist() == [0, 1, 4, 5, 8, 9, 12, 13]
+    assert out.n_frames == 4
+    assert out.sample_rate == 4000
+
+
+def test_encode_png_accepts_flat_array():
+    import numpy as np
+
+    from wotan_spark.codecs.png import decode_png, encode_png
+
+    flat = np.arange(32, dtype=np.uint8)
+    out = decode_png(encode_png(flat))
+    assert (out == flat).all()

@@ -305,3 +305,41 @@ def test_embedding_index_param_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="append-only"):
         idx.update_incremental(spark, emb.filter("vec_id < 10"),
                                run_id="u2")
+
+
+def test_index_survives_lakehouse_maintenance(spark, tmp_path):
+    """compact()/rewrite_manifests() commit snapshots without the param
+    stamps; the param check must walk the chain instead of bricking the
+    handle after routine maintenance."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, docs.filter("doc_id < 400"))
+    before = set(map(tuple, idx.candidate_pairs(spark)
+                     .select("doc_a", "doc_b").collect()))
+    idx.sig_table.rewrite_manifests()
+    idx.sig_table.compact(spark, target_file_rows=100)
+    idx.pairs.rewrite_manifests()
+    after = set(map(tuple, idx.candidate_pairs(spark)
+                    .select("doc_a", "doc_b").collect()))
+    assert after == before
+    out = idx.update_incremental(spark, docs.filter("doc_id >= 400"),
+                                 run_id="u-post-maint")
+    assert out
+
+def test_fully_landed_retry_with_different_content_raises(spark, tmp_path):
+    """Reusing a past update's run_id with a DIFFERENT batch must raise,
+    not silently drop the new batch: the old early return skipped the
+    content check entirely when both appends had landed."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = NearDupIndex(str(tmp_path / "nd"))
+    idx.build(spark, docs.filter("doc_id < 300"))
+    batch1 = docs.filter("doc_id >= 300 and doc_id < 350")
+    idx.update_incremental(spark, batch1, run_id="u1")
+    # identical replay: verified no-op
+    out = idx.update_incremental(spark, batch1, run_id="u1")
+    assert out
+    with pytest.raises(ValueError, match="identical batch content"):
+        idx.update_incremental(spark, docs.filter("doc_id >= 350"),
+                               run_id="u1")

@@ -187,7 +187,10 @@ def test_expire_snapshots_pins_referenced_snapshots(spark, tmp_path):
     assert t.read(spark, snapshot_id=s0).count() == 4   # until reclaimed
     # the next expiry reclaims the now-unreferenced orphan
     t.overwrite(spark.range(7).withColumnRenamed("id", "x"))
-    rep2 = expire_snapshots(t, keep_last=1)
+    # grace 0 = simulate a run far past the commit-publish window (a
+    # FRESH unreferenced snapshot is otherwise spared as possibly
+    # in-flight — test_expiry_spares_in_flight_snapshot pins that)
+    rep2 = expire_snapshots(t, keep_last=1, orphan_manifest_grace_sec=0.0)
     assert rep2["expired"] >= 1
     assert not os.path.exists(os.path.join(
         t.manifest_dir, f"snapshot-{s0}.json"))
@@ -272,3 +275,35 @@ def test_wap_governed_curation_publish(spark, tmp_path):
 
     t.fast_forward("audit")
     assert t.read(spark).count() == staged.count()  # published
+
+
+def test_expiry_spares_in_flight_snapshot(spark, tmp_path):
+    """A committing writer publishes snapshot-<sid>.json BEFORE moving
+    HEAD/refs; expiry must not reclaim a FRESH unreferenced snapshot (it
+    may be that in-flight commit — deleting its data dirs bricks the
+    table the moment HEAD lands).  Past the grace window it is reclaimed
+    like any orphan."""
+    import json
+    import os
+
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(1).withColumnRenamed("id", "x"))
+    t.overwrite(spark.range(2).withColumnRenamed("id", "x"))
+    # simulate the publish window: a snapshot json exists, HEAD not moved
+    d = t._write_data(spark.range(3).withColumnRenamed("id", "x"))
+    man = t._write_manifest([d])
+    sid = 999
+    with open(os.path.join(t.manifest_dir, f"snapshot-{sid}.json"),
+              "w") as f:
+        json.dump({"snapshot_id": sid, "manifest_list": [man],
+                   "parent": t.current_snapshot_id(), "meta": {}}, f)
+    expire_snapshots(t, keep_last=1)
+    assert os.path.exists(
+        os.path.join(t.manifest_dir, f"snapshot-{sid}.json"))
+    assert os.path.isdir(d)                       # data spared
+    # past the grace window the stale orphan is reclaimed
+    expire_snapshots(t, keep_last=1, orphan_manifest_grace_sec=0.0)
+    assert not os.path.exists(
+        os.path.join(t.manifest_dir, f"snapshot-{sid}.json"))
+    assert not os.path.isdir(d)

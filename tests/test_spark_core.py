@@ -401,3 +401,26 @@ def test_resample_ffill_span_guard_fails_loudly(spark):
     n = resample_ffill(df, key="key", t="t", y="y", step=1,
                        max_buckets=20_000).count()
     assert n == 10_001
+
+
+def test_detrend_auto_outputs_kwarg(spark):
+    """detrend_sequences-only kwargs (outputs) must be handled by the auto
+    router, not forwarded blind into the chunked branch where **params
+    reach detrend_series (union AnalysisException / executor TypeError)."""
+    from wotan_spark.spark.detrend_op import (detrend_sequences,
+                                              detrend_sequences_auto)
+
+    seq = _seq(spark)
+    out = detrend_sequences_auto(seq, method="biweight", chunk_threshold=700,
+                                 window_length=17, outputs=("flat",))
+    assert set(out.columns) == {"doc_id", "n_tok", "source", "flat"}
+    assert seq.filter(F.col("n_tok") > 700).count() > 0  # chunked branch hit
+    want = detrend_sequences(seq, method="biweight", window_length=17,
+                             outputs=("flat",))
+    a = {r.doc_id: np.array(r.flat, dtype=np.float64)
+         for r in out.collect()}
+    b = {r.doc_id: np.array(r.flat, dtype=np.float64)
+         for r in want.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert np.allclose(a[k], b[k], equal_nan=True)

@@ -146,6 +146,8 @@ def encode_png(pixels: np.ndarray, channels: int = 1,
     if color is None:
         raise ValueError(f"channels={channels} unsupported")
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 1:           # "flat-able": a flat array is one scanline
+        px = px.reshape(1, -1)
     if px.ndim != 2 or px.shape[1] % channels:
         raise ValueError("pixels must be (height, width*channels)")
     height, stride = px.shape

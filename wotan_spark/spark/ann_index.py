@@ -68,18 +68,10 @@ class AnnIndex:
 
     @staticmethod
     def _newest_stamped(table: SnapshotTable, key: str) -> dict | None:
-        """Newest snapshot in the table's HEAD chain whose meta carries
-        ``key``.  Data-preserving lakehouse maintenance (compact,
-        rewrite_manifests, merge_buckets) commits new snapshots WITHOUT
-        the index stamps; the logical content they carry is still the
-        newest stamped ancestor's, so stamps — and the model GENERATION
-        id — are resolved by walking the chain instead of reading HEAD
-        only (HEAD-only reads bricked the index after a routine
-        compact)."""
-        for m in reversed(table.snapshots()):
-            if key in m.get("meta", {}):
-                return m
-        return None
+        """See ``lakehouse.newest_stamped`` — stamps and the model
+        GENERATION id are resolved by walking the chain, not HEAD."""
+        from wotan_spark.spark.lakehouse import newest_stamped
+        return newest_stamped(table, key)
 
     def _check_params(self) -> None:
         head = self.model.current_snapshot_id()

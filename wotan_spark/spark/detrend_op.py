@@ -207,6 +207,8 @@ _CHUNKABLE_METHODS = frozenset(
 def detrend_sequences_auto(df: DataFrame, method: str = "biweight",
                            chunk_threshold: int = AUTO_CHUNK_THRESHOLD,
                            chunk_size: int | None = None,
+                           keep_tokens: bool = False,
+                           outputs: tuple[str, ...] = ("flat", "trend"),
                            **params) -> DataFrame:
     """Single routing entry point for skewed sequence lengths (north_rule:
     salted repartitioning for skewed long sequences): rows with
@@ -224,14 +226,25 @@ def detrend_sequences_auto(df: DataFrame, method: str = "biweight",
     """
     if (method not in _CHUNKABLE_METHODS or "mask_col" in params
             or "mask_transit" in params):
-        return detrend_sequences(df, method=method, **params)
+        return detrend_sequences(df, method=method, keep_tokens=keep_tokens,
+                                 outputs=outputs, **params)
     if chunk_size is None:
         chunk_size = chunk_threshold
     short = df.filter(F.col("n_tok") <= chunk_threshold)
     long_ = df.filter(F.col("n_tok") > chunk_threshold)
-    return (detrend_sequences(short, method=method, **params)
-            .unionByName(detrend_sequences_chunked(
-                long_, method=method, chunk_size=chunk_size, **params)))
+    # detrend_sequences-only kwargs are handled HERE (explicit params),
+    # never forwarded blind into the chunked branch whose **params reach
+    # detrend_series — an asymmetric kwarg (e.g. outputs) either broke the
+    # union at plan time or TypeError'd every executor task
+    chunked = detrend_sequences_chunked(long_, method=method,
+                                        chunk_size=chunk_size,
+                                        keep_tokens=keep_tokens, **params)
+    drop = [c for c in ("flat", "trend") if c not in outputs]
+    if drop:
+        chunked = chunked.drop(*drop)
+    return (detrend_sequences(short, method=method, keep_tokens=keep_tokens,
+                              outputs=outputs, **params)
+            .unionByName(chunked))
 
 
 def split_chunks(df: DataFrame, chunk_size: int, overlap: int) -> DataFrame:

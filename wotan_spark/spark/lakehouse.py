@@ -62,6 +62,20 @@ def delta_fingerprint(df: DataFrame) -> dict:
             else "0"}
 
 
+def newest_stamped(table: "SnapshotTable", key: str) -> dict | None:
+    """Newest snapshot in the table's HEAD chain whose meta carries
+    ``key``.  Index/stage stamps must be resolved this way rather than
+    read off HEAD: data-preserving maintenance (compact,
+    rewrite_manifests, merge_buckets, retention) commits new snapshots
+    WITHOUT the stamps, and a HEAD-only read bricks the consumer after
+    routine maintenance.  Shared by the ANN and near-dup index
+    maintainers."""
+    for m in reversed(table.snapshots()):
+        if key in m.get("meta", {}):
+            return m
+    return None
+
+
 class _LazySnapshot(dict):
     """Snapshot view whose ``files`` key resolves from the manifest list
     on first ``[]`` access.  Meta-only walkers (the snapshot-chain

@@ -193,26 +193,47 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            payloads, frames, codecs_out = [], [], []
-            for mod, codec, payload, nf in zip(
+            payloads, frames, codecs_out, rates = [], [], [], []
+            for mod, codec, payload, nf, rate in zip(
                     pdf["modality"], pdf["codec"], pdf["payload"],
-                    pdf["n_frames"]):
+                    pdf["n_frames"], pdf["sample_rate"]):
+                rate_i = None if rate is None or pd.isna(rate) else int(rate)
+                nf_i = None if nf is None or pd.isna(nf) else int(nf)
                 if mod not in ("audio", "video"):
                     payloads.append(bytes(payload))
                     codecs_out.append(codec)
-                    frames.append(None if nf is None or pd.isna(nf)
-                                  else int(nf))
+                    frames.append(nf_i)
+                    rates.append(rate_i)
                     continue
                 arr = _decode_payload(codec, bytes(payload), decoders)
-                kept = arr[::every]
+                # decimate FRAMES, not raw samples: when n_frames divides
+                # the payload, a frame is size/n_frames samples (e.g.
+                # interleaved audio channels, video rasters) and a flat
+                # [::every] stride would scramble within-frame layout
+                if nf_i and nf_i > 0 and arr.size % nf_i == 0 \
+                        and arr.size // nf_i > 1:
+                    kept2 = arr.reshape(nf_i, -1)[::every]
+                    kept, new_nf = kept2.reshape(-1), kept2.shape[0]
+                else:
+                    kept = arr[::every]
+                    new_nf = len(kept) if nf_i is not None else None
                 payloads.append(kept.tobytes())
                 # outputs are decoded samples, not re-wrapped containers —
                 # the codec column must say so or a downstream decode breaks
                 codecs_out.append("raw")
-                frames.append(len(kept) if nf is not None else None)
+                frames.append(new_nf)
+                # keeping every N-th audio frame divides the effective
+                # sample rate; leaving it unchanged made every downstream
+                # duration/pitch computation wrong by N (the
+                # payload-contradicts-metadata hazard this function's
+                # image pass-through exists to avoid)
+                rates.append(max(1, rate_i // every)
+                             if mod == "audio" and rate_i is not None
+                             else rate_i)
             out["payload"] = payloads
             out["codec"] = codecs_out
             out["n_frames"] = pd.array(frames, dtype="Int32")
+            out["sample_rate"] = pd.array(rates, dtype="Int32")
             yield out
 
     return media.mapInPandas(run, schema=media.schema)
@@ -241,7 +262,18 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                     hs.append(None if pd.isna(h) else int(h))
                     continue
                 w, h = int(w), int(h)
-                img = _decode_payload(codec, raw, decoders).reshape(h, w)
+                arr = _decode_payload(codec, raw, decoders)
+                # channel count from the decoded length: the built-in PNG
+                # decoder emits h*w*c samples for RGB/RGBA payloads, and a
+                # (h, w) reshape crashed on anything multi-channel
+                if h <= 0 or w <= 0 or arr.size % (h * w):
+                    payloads.append(raw)        # metadata contradicts
+                    codecs_out.append(codec)    # payload: pass through
+                    ws.append(w)
+                    hs.append(h)
+                    continue
+                c = arr.size // (h * w)
+                img = arr.reshape(h, w, c)
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 payloads.append(img[np.ix_(yi, xi)].astype(np.uint8)

@@ -65,11 +65,20 @@ class _PairIndexBase:
 
     # -- shared ----------------------------------------------------------
     def _check_params(self) -> None:
+        from wotan_spark.spark.lakehouse import newest_stamped
         head = self.sig_table.current_snapshot_id()
         if head is None:
             raise ValueError("index has no build snapshot — call build()")
-        meta = self.sig_table.snapshots()[-1]["meta"]
         want = self._params_meta()
+        # walk the chain, not HEAD: maintenance commits (compact,
+        # rewrite_manifests) carry no param stamps and would brick every
+        # later call on this handle
+        rec = newest_stamped(self.sig_table, next(iter(want)))
+        if rec is None:
+            raise ValueError(
+                "signature table has snapshots but none carries the index "
+                "parameter stamps — not an index signature table")
+        meta = rec["meta"]
         stored = {k: meta.get(k) for k in want}
         if stored != want:
             raise ValueError(f"index was built with {stored}, "
@@ -119,9 +128,6 @@ class _PairIndexBase:
         self._check_params()
         done_p = self.pairs.find_snapshot(run_id=run_id, op="update")
         done_s = self.sig_table.find_snapshot(run_id=run_id, op="update")
-        if done_p is not None and done_s is not None:
-            return self._update_result(done_s["snapshot_id"],
-                                       done_p["snapshot_id"])
         delta = self._signatures(new_items) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -137,8 +143,17 @@ class _PairIndexBase:
                     raise ValueError(
                         f"retry of run_id={run_id!r} recomputed a delta "
                         f"with fingerprint {fp} but the landed {table} "
-                        f"append was stamped {stamped} — a half-done "
-                        "retry must replay the identical batch content")
+                        f"append was stamped {stamped} — a retry "
+                        "must replay the identical batch content")
+            # content-verified no-op AFTER the stamp checks: the old
+            # early return skipped them entirely on a fully-landed
+            # run_id, so reusing a past update's run_id with a NEW batch
+            # silently dropped that batch (round-5b review finding).
+            # Costs one delta recompute + fingerprint on replay — the
+            # price of the "cannot silently drop a batch" promise.
+            if done_p is not None and done_s is not None:
+                return self._update_result(done_s["snapshot_id"],
+                                           done_p["snapshot_id"])
             # the probe side is the index as of BEFORE this run: on a
             # retry whose signature append already landed, reading HEAD
             # would double-generate the delta's pairs (and trip the dup

@@ -24,6 +24,10 @@ from pyspark.sql import SparkSession
 
 from wotan_spark.spark.lakehouse import SnapshotTable
 
+# upper bound for the where=(bucket, cutoff, hi) pruned read — any real
+# bucket id (token index / factor) sits far below 2^62
+_BUCKET_MAX = 1 << 62
+
 
 @dataclass
 class RetentionPolicy:
@@ -65,11 +69,25 @@ def apply_retention(spark: SparkSession,
     report: dict[str, dict] = {}
     for name, cutoff in cutoffs.items():
         table = tables[name]
-        cur = table.read(spark)
-        if cur is None:
+        sid0 = table.current_snapshot_id()
+        if sid0 is None:
             continue
-        total = cur.count()
-        kept_df = cur.filter(F.col(bucket_col) >= cutoff)
+        # total row count from the per-file footer stats (metadata-only);
+        # the kept read goes through where= so file-stats pruning skips
+        # wholly-aged-out data files — cost O(kept), as documented, not
+        # three full-table scans
+        total = 0
+        have_stats = True
+        for d in table._manifest(sid0)["files"]:
+            st = table._load_stats(d)
+            if st is None:
+                have_stats = False
+                break
+            total += sum(int(s.get("rows", 0)) for s in st.values())
+        kept_df = table.read(spark,
+                             where=(bucket_col, cutoff, _BUCKET_MAX))
+        if not have_stats:
+            total = table.read(spark).count()
         kept = kept_df.count()
         sid = table.overwrite(kept_df, run_id=run_id,
                               retention_cutoff=cutoff)
@@ -110,8 +128,10 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2,
     if head is None:
         return {"expired": 0, "dirs_deleted": 0, "manifests_deleted": 0}
     chain = table.snapshots()               # oldest .. newest
-    if len(chain) <= keep_last:
-        return {"expired": 0, "dirs_deleted": 0, "manifests_deleted": 0}
+    # a short chain has nothing to expire from HISTORY, but the orphan
+    # scans below must still run — stale off-chain leftovers (dropped
+    # refs, crashed commits) would otherwise leak for as long as the
+    # chain stays within the keep window
     refs = table.refs()
     ref_sids = set(refs["tags"].values()) | set(refs["branches"].values())
     chain_sids = {m["snapshot_id"] for m in chain}
@@ -128,19 +148,39 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2,
                 sid = table._manifest(sid).get("parent")
             except FileNotFoundError:
                 break
-    kept, old = chain[-keep_last:], chain[:-keep_last]
+    if len(chain) <= keep_last:
+        kept, old = chain, []
+    else:
+        kept, old = chain[-keep_last:], chain[:-keep_last]
     pinned = [m for m in old if m["snapshot_id"] in ref_sids]
     expired = [m for m in old if m["snapshot_id"] not in ref_sids]
     # orphans: manifests outside the walkable chain (staged branch
     # commits, or snapshots pinned by a ref in an earlier expiry whose
     # ref was since dropped) — unreferenced ones are reclaimed now, or
     # their files would leak forever
+    import time as _t
+    now = _t.time()
     for fn in os.listdir(table.manifest_dir):
         if not (fn.startswith("snapshot-") and fn.endswith(".json")):
             continue
         sid = int(fn[len("snapshot-"):-len(".json")])
         if sid not in chain_sids and sid not in ref_sids:
-            expired.append(table._manifest(sid))
+            # grace window, same reasoning as the manifest GC below: a
+            # committing writer publishes snapshot-<sid>.json BEFORE
+            # moving HEAD/refs, so a fresh unreferenced snapshot may be an
+            # IN-FLIGHT commit — expiring it would delete the data dirs
+            # out from under the writer and brick the table the moment
+            # HEAD lands.  Only reclaim once far past any write-to-publish
+            # window.
+            try:
+                age = now - os.path.getmtime(
+                    os.path.join(table.manifest_dir, fn))
+            except FileNotFoundError:
+                continue
+            if age < orphan_manifest_grace_sec:
+                pinned.append(table._manifest(sid))   # spare this run
+            else:
+                expired.append(table._manifest(sid))
         elif sid not in chain_sids:          # still-pinned orphan
             pinned.append(table._manifest(sid))
     kept_dirs = {d for m in kept + pinned for d in m["files"]}
@@ -193,6 +233,12 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2,
     # late-data gates (exactly the hazard they exist to prevent).  A newer
     # kept snapshot with its own cutoff still wins, since
     # retention_cutoff() walks newest-first.
+    if not old:
+        # nothing expired from history: leave the chain root untouched
+        # (an unconditional rewrite would stamp history_expired on a
+        # table whose history is fully intact)
+        return {"expired": len(expired), "dirs_deleted": len(drop_dirs),
+                "manifests_deleted": dropped_manifests}
     newest_cutoff = None
     for m in reversed(chain):
         c = m.get("meta", {}).get("retention_cutoff")
