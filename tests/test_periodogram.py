@@ -34,10 +34,11 @@ def test_matches_local_kernel_exactly(spark):
     rng = np.random.default_rng(3)
     rows = [(f"d{i}", rng.integers(0, 2000, rng.integers(10, 400)).tolist())
             for i in range(20)]
+    from wotan_spark.spark.synth import decode_tokens
     got = {(r.doc_id, r.rank): (r.period, r.power)
            for r in dominant_periods(_seq_df(spark, rows), top_k=3).collect()}
     for doc_id, toks in rows:
-        y = np.asarray(toks, float)
+        y = decode_tokens(np.asarray(toks, dtype=np.int32))
         y = y - np.median(y)
         t = np.arange(len(y), dtype=float)
         freqs = np.geomspace(1.0 / t[-1], 1.0, LS_FREQS)
@@ -54,3 +55,22 @@ def test_short_sequences_emit_nothing_and_plan_is_shuffle_free(spark):
     assert {r.doc_id for r in df.collect()} == {"ok"}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_gap_sentinels_do_not_dominate_spectrum(spark):
+    """Gap SENTINEL tokens must be decoded + dropped like every other
+    token operator: a raw -2^31 spike against a ~1e-3-amplitude signal
+    made the committed period report the gap geometry, not the series'
+    dominant period.  Lomb-Scargle handles the irregular grid natively."""
+    from wotan_spark.spark.synth import SENTINEL
+
+    t = np.arange(1024)
+    toks = (1000 * np.sin(2 * np.pi * t / 50.0)).astype(int)
+    gapped = toks.copy()
+    gapped[300:340] = int(SENTINEL)
+    rows = [("clean", toks.tolist()), ("gapped", gapped.tolist())]
+    out = {r.doc_id: r.period
+           for r in dominant_periods(_seq_df(spark, rows)).collect()
+           if r.rank == 1}
+    assert abs(out["clean"] - 50.0) / 50.0 < 0.05
+    assert abs(out["gapped"] - 50.0) / 50.0 < 0.05, out["gapped"]

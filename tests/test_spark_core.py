@@ -424,3 +424,35 @@ def test_detrend_auto_outputs_kwarg(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert np.allclose(a[k], b[k], equal_nan=True)
+
+
+def test_clean_points_drops_negative_inf(spark):
+    """cleaned_array semantics: -inf must be dropped too — the predicate
+    `col < inf` alone keeps it (-inf < inf is true)."""
+    from wotan_spark.spark.ops import clean_points
+
+    rows = [(0.0, 1.0), (1.0, float("nan")), (2.0, float("inf")),
+            (3.0, float("-inf")), (4.0, 2.0), (float("-inf"), 3.0)]
+    df = spark.createDataFrame(rows, "t double, y double")
+    got = sorted(r.t for r in clean_points(df).collect())
+    assert got == [0.0, 4.0]
+
+
+def test_write_sequences_csv_rejects_null_tokens(spark, tmp_path):
+    """concat_ws silently SKIPS null array elements, so a null token would
+    round-trip as a shorter array than n_tok claims — fail loudly."""
+    import pytest
+
+    from wotan_spark.spark.sources import read_sequences, write_sequences
+
+    good = _seq(spark).limit(4)
+    write_sequences(good, str(tmp_path / "ok"), format="csv")
+    back = read_sequences(spark, str(tmp_path / "ok"), format="csv")
+    a = {r.doc_id: list(r.tokens) for r in good.collect()}
+    b = {r.doc_id: list(r.tokens) for r in back.collect()}
+    assert a == b                                 # bit-exact round trip
+    bad = good.withColumn(
+        "tokens", F.expr("transform(tokens, (x, i) -> "
+                         "if(i = 1, cast(null as int), x))"))
+    with pytest.raises(Exception, match="null token"):
+        write_sequences(bad, str(tmp_path / "bad"), format="csv")

@@ -41,7 +41,9 @@ def clean_points(df: DataFrame, t: str = "t", y: str = "y") -> DataFrame:
     drop NULL/NaN/inf rows.  Catalyst predicate — pushed to the scan."""
     def ok(c):
         col = F.col(c)
-        return col.isNotNull() & ~F.isnan(col) & (col < F.lit(float("inf")))
+        # abs() < inf: `col < inf` alone KEEPS -inf (-inf < inf is true)
+        return (col.isNotNull() & ~F.isnan(col)
+                & (F.abs(col) < F.lit(float("inf"))))
     return df.filter(ok(t) & ok(y))
 
 

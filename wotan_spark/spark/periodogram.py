@@ -53,10 +53,18 @@ def dominant_periods(seq: DataFrame, top_k: int = 1,
         for pdf in batches:
             ids, ranks, periods, powers = [], [], [], []
             for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                y = np.asarray(toks, dtype=np.float64)
+                # decode + drop gap sentinels like every other token
+                # operator: raw SENTINEL (-2^31) spikes would dominate the
+                # power spectrum with the gap's window function.  The
+                # surviving points keep their original token indexes —
+                # Lomb-Scargle exists precisely for irregular grids.
+                from wotan_spark.spark.synth import decode_tokens
+                y_all = decode_tokens(np.asarray(toks, dtype=np.int32))
+                ok = ~np.isnan(y_all)
+                y = y_all[ok]
                 if len(y) < 4:
                     continue
-                t = np.arange(len(y), dtype=np.float64)
+                t = np.arange(len(y_all), dtype=np.float64)[ok]
                 y = y - np.median(y)
                 freqs = np.geomspace(1.0 / t[-1], 1.0, nf)
                 p = lombscargle(t, y, freqs)

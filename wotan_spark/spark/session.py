@@ -47,9 +47,9 @@ def get_spark(app_name: str = "wotan-spark", cores: int | None = None,
     if (master or "").startswith("local-cluster"):
         # real executor JVMs spawn their own Python workers, which do not
         # inherit the driver's sys.path — ship the engine's import root the
-        # way `spark-submit --py-files` would on a cluster
-        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
+        # way `spark-submit --py-files` would on a cluster (ONE definition
+        # of the import root, shared with the pyfiles zip builder)
+        from wotan_spark.spark.shipping import _REPO as repo_root
         pythonpath = os.pathsep.join(
             p for p in (repo_root, os.environ.get("PYTHONPATH")) if p)
         builder = builder.config("spark.executorEnv.PYTHONPATH", pythonpath)

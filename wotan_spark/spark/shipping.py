@@ -15,25 +15,34 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# in-process cache of the built zip path: an on-disk exists() check keyed
+# by pid reused a STALE zip when a recycled pid found an old process's
+# file after the source tree changed — silent driver/worker version skew
+_ZIP_PATH: str | None = None
 
 
 def build_pyfiles_zip(dest: str | None = None) -> str:
-    """Zip wotan_spark for --py-files / addPyFile."""
+    """Zip wotan_spark for --py-files / addPyFile.  Built once per PROCESS
+    (module-global cache) so the shipped code is always the code this
+    driver imported."""
+    global _ZIP_PATH
     if dest is None:
+        if _ZIP_PATH is not None and os.path.exists(_ZIP_PATH):
+            return _ZIP_PATH
         dest = os.path.join(tempfile.gettempdir(),
                             f"wotan_spark_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(dest):
-        tmp = dest + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            pkgroot = os.path.join(_REPO, "wotan_spark")
-            for dirpath, _, files in os.walk(pkgroot):
-                for fn in sorted(files):
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, _REPO))
-        os.replace(tmp, dest)
+    tmp = dest + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        pkgroot = os.path.join(_REPO, "wotan_spark")
+        for dirpath, _, files in os.walk(pkgroot):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, _REPO))
+    os.replace(tmp, dest)
+    _ZIP_PATH = dest
     return dest
 
 
@@ -66,7 +75,10 @@ def tune_session(spark: SparkSession) -> None:
 def ensure_shipped(spark: SparkSession) -> None:
     tune_session(spark)
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, not id(sc): a new context reusing a GC'd context's
+    # memory address would silently skip addPyFile and every pandas-UDF
+    # task on the new session would die with ModuleNotFoundError
+    key = sc.applicationId
     if key in _SHIPPED:
         return
     sc.addPyFile(build_pyfiles_zip())

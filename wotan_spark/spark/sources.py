@@ -50,10 +50,19 @@ def write_sequences(df: DataFrame, path: str,
     elif format == "json":
         df.write.mode("overwrite").json(path)
     elif format == "csv":
-        (df.select("doc_id",
-                   F.concat_ws("|", F.col("tokens").cast("array<string>"))
-                   .alias("tokens"),
-                   "n_tok", "source")
+        # concat_ws SKIPS null elements: [1, null, 2] would round-trip as
+        # [1, 2] while n_tok still says 3 — silent data loss breaking the
+        # per-row token-array invariant.  Fail loudly instead (the schema
+        # allows null elements; the pipe encoding has no slot for them).
+        guarded = F.when(
+            F.exists("tokens", lambda x: x.isNull()),
+            F.raise_error(F.concat(
+                F.lit("write_sequences(csv): doc "), F.col("doc_id"),
+                F.lit(" has null token elements — the pipe encoding "
+                      "cannot represent them; fill or drop nulls first")))
+        ).otherwise(
+            F.concat_ws("|", F.col("tokens").cast("array<string>")))
+        (df.select("doc_id", guarded.alias("tokens"), "n_tok", "source")
          .write.mode("overwrite").option("header", "true").csv(path))
     else:
         raise ValueError(f"unknown sequence format {format!r}")
