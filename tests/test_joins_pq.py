@@ -497,3 +497,19 @@ def test_asof_join_bucketed_mixed_time_types(spark):
     # and the same frames agree with the single-window plan
     ref = asof_join(left, right, on="k", left_time="t", right_time="rt")
     assert got == {(r.pid, r.v_asof) for r in ref.collect()}
+
+
+def test_interval_join_suffix_collision_raises(spark):
+    """Same contract as asof_join: a suffixed interval column equal to a
+    point column name would emit duplicate output columns (downstream
+    select-by-name dies with AMBIGUOUS_REFERENCE)."""
+    import pytest
+
+    from wotan_spark.spark.joins import interval_join
+
+    pts = spark.createDataFrame([(1, 5, "x")], "k int, t int, v_iv string")
+    ivs = spark.createDataFrame([(1, 0, 10, "a")],
+                                "k int, s int, e int, v string")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, ivs, on="k", point_col="t",
+                      start_col="s", end_col="e", bucket_width=4)

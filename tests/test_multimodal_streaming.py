@@ -489,3 +489,17 @@ def test_streaming_pipeline_ingestion_maintains_all_tiers(spark, tmp_path):
     assert (batch.select("doc_id", "bucket", "y_sum")
             .exceptAll(merged2.select("doc_id", "bucket", "y_sum"))
             .count()) == 0
+
+
+def test_frame_sample_and_resize_validate_params(spark):
+    """every=0 crashed inside executors ('slice step cannot be zero'),
+    every=-1 silently time-REVERSED clips with a corrupted sample_rate;
+    a 0/negative resize target silently emitted empty payloads with
+    width/height metadata of 0.  All must fail at build time."""
+    media = synth_media(spark, 2)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="every"):
+            frame_sample(media, every=bad)
+    for w, h in ((0, 8), (8, 0), (-1, 8)):
+        with pytest.raises(ValueError, match="target size"):
+            resize_media(media, out_w=w, out_h=h)

@@ -456,3 +456,23 @@ def test_write_sequences_csv_rejects_null_tokens(spark, tmp_path):
                          "if(i = 1, cast(null as int), x))"))
     with pytest.raises(Exception, match="null token"):
         write_sequences(bad, str(tmp_path / "bad"), format="csv")
+
+
+def test_sequences_from_events_maps_null_nan_to_sentinel(spark, tmp_path):
+    """A NULL/NaN event value must become the SENTINEL gap token:
+    round(NULL*1000) put a NULL element inside `tokens` (crashing every
+    downstream np.asarray(..., int32) decoder) and NaN failed the whole
+    build under ANSI casting."""
+    from wotan_spark.spark.synth import SENTINEL, sequences_from_events
+
+    rows = [(1, 0, 7, 1.0), (2, 1, 7, None), (3, 2, 7, float("nan")),
+            (4, 3, 7, -0.5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsn long, user_id long, value double"
+    ).select("event_id", F.timestamp_seconds("tsn").alias("ts"),
+             "user_id", "value")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sequences_from_events(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].doc_id == "user_7"
+    assert out[0].tokens == [1000, int(SENTINEL), int(SENTINEL), -500]
+    assert out[0].n_tok == 4

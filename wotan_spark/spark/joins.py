@@ -293,6 +293,15 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     payload = [c for c in intervals.columns if c not in keys]
     if "__bk" in points.columns or "__bk" in intervals.columns:
         raise ValueError("column name '__bk' is reserved")
+    # same contract as asof_join: a suffixed interval column that equals a
+    # point column name would silently emit duplicate output columns —
+    # the join succeeds and the first downstream select-by-name fails
+    # with AMBIGUOUS_REFERENCE (or positional access reads the wrong one)
+    dup = [c for c in payload if f"{c}{suffix}" in set(points.columns)]
+    if dup:
+        raise ValueError(
+            f"suffixed interval column(s) {[f'{c}{suffix}' for c in dup]} "
+            "collide with point columns; pass a different suffix")
 
     explicit_factor = (isinstance(long_factor, (int, float))
                        and not isinstance(long_factor, bool))

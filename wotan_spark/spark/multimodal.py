@@ -187,6 +187,12 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     through untouched (same discipline as ``resize_media``): decimating a
     raster's rows while width/height metadata survives would emit a
     payload whose length contradicts w*h and crash the next consumer."""
+    # validate eagerly (the engine-wide discipline: factor<1, n_out<3, ...):
+    # every==0 would crash inside executors mid-job ('slice step cannot be
+    # zero') and a negative stride would silently emit time-REVERSED clips
+    # with a corrupted sample_rate
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
 
     decoders = dict(_DECODERS)
 
@@ -244,6 +250,12 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     through untouched.  The gather is a vectorized ``np.ix_`` index —
     a real resampler (PIL/opencv) would plug into _decode_payload and
     replace the index arithmetic only."""
+    # a zero/negative target silently produced empty payloads with 0 or
+    # negative width/height metadata (np.arange(0) gathers nothing) — the
+    # exact payload-contradicts-metadata hazard this module guards against
+    if out_w < 1 or out_h < 1:
+        raise ValueError(
+            f"target size must be >= 1x1, got {out_w}x{out_h}")
 
     decoders = dict(_DECODERS)
 

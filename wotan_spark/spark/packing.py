@@ -41,6 +41,64 @@ from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
 
+def _exclusive_prefix(df: DataFrame, *, range_keys: list[str],
+                      order_keys: list[str], group_keys: list[str],
+                      group_schema: str, weight: str | None, out_col: str,
+                      partitions: int) -> DataFrame:
+    """Exclusive running total of ``weight`` (row count when ``None``) in
+    global ``(group_keys, order_keys)`` order, per group — WITHOUT a
+    global-order window (which Spark executes on ONE partition: the
+    scale-killer this module exists to avoid).  Shared by
+    ``pack_sequences`` (token offsets) and ``shard_chunks`` (shard
+    positions) so the subtle invariants live in one place:
+
+    - the range-partitioned frame is persisted so BOTH jobs (the totals
+      collect and the window pass) see the same range boundaries
+      (``repartitionByRange`` samples boundaries per job; an unpersisted
+      recompute may re-draw them, silently skewing every offset);
+    - ONE row per (partition, group) comes back to the driver — bounded
+      metadata — and the exclusive prefix is broadcast back for a
+      parallel WITHIN-partition window;
+    - the result is eagerly materialized (checkpoint when a reliable dir
+      is set, else executor-local) so the internal cache can be released
+      before returning instead of pinning one row per input row in the
+      session cache; the checkpointed RDD is reclaimed by the
+      ContextCleaner when the returned frame is dropped.
+
+    ``range_keys`` must order rows consistently with ``(group_keys,
+    order_keys)`` and the combined ordering must be total (unique), or
+    positions within tied rows would be nondeterministic.  Returns the
+    input columns plus ``out_col``.
+    """
+    keyed = (df.repartitionByRange(partitions, *range_keys)
+             .withColumn("__pid", F.spark_partition_id())
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    w = (F.col(weight) if weight is not None else F.lit(1)).cast("long")
+    totals = (keyed.groupBy("__pid", *group_keys)
+              .agg(F.sum(w).alias("__tot")).collect())
+    prefix_rows, acc = [], {}
+    for r in sorted(totals,
+                    key=lambda r: tuple(r[k] for k in
+                                        (*group_keys, "__pid"))):
+        g = tuple(r[k] for k in group_keys)
+        prefix_rows.append((int(r["__pid"]), *g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + int(r["__tot"])
+    schema = "__pid int, " + (group_schema + ", " if group_schema else "") \
+        + "__part_off long"
+    prefix_df = df.sparkSession.createDataFrame(prefix_rows, schema)
+    win = (Window.partitionBy("__pid", *group_keys).orderBy(*order_keys)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (keyed.join(F.broadcast(prefix_df), ["__pid", *group_keys])
+           .withColumn(out_col,
+                       F.col("__part_off") + F.sum(w).over(win) - w)
+           .drop("__pid", "__part_off"))
+    reliable = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    out = (out.checkpoint(eager=True) if reliable
+           else out.localCheckpoint(eager=True))
+    keyed.unpersist()
+    return out
+
+
 def pack_sequences(seqs: DataFrame, context_len: int,
                    eod_token: int | None = None,
                    drop_last: bool = True,
@@ -77,32 +135,10 @@ def pack_sequences(seqs: DataFrame, context_len: int,
         n_col = (F.col("n_tok").cast("long") + eod_extra).alias("n")
     else:
         n_col = (F.size("tokens").cast("long") + eod_extra).alias("n")
-    doc_sizes = (seqs.select("doc_id", n_col).filter(F.col("n") > 0)
-                 .repartitionByRange(n_par, "doc_id")
-                 .withColumn("pid", F.spark_partition_id())
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-    part_totals = sorted(
-        (r["pid"], r["tot"]) for r in
-        doc_sizes.groupBy("pid").agg(F.sum("n").alias("tot")).collect())
-    prefix, acc = [], 0
-    for pid, tot in part_totals:
-        prefix.append((pid, acc))
-        acc += int(tot)
-    prefix_df = spark.createDataFrame(prefix, "pid int, part_off long")
-    in_part = Window.partitionBy("pid").orderBy("doc_id")
-    offsets = (doc_sizes.join(F.broadcast(prefix_df), "pid")
-               .select("doc_id", "n",
-                       (F.col("part_off") + F.sum("n").over(in_part)
-                        - F.col("n")).alias("off")))
-    # materialize the doc-level offsets (checkpoint when a reliable dir is
-    # set, else executor-local) so the cached doc_sizes can be released
-    # NOW instead of pinning one row per doc in the session cache forever;
-    # the checkpointed RDD is reclaimed by the ContextCleaner when the
-    # returned frame is dropped, unlike a CacheManager persist
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    offsets = (offsets.checkpoint(eager=True) if reliable
-               else offsets.localCheckpoint(eager=True))
-    doc_sizes.unpersist()
+    offsets = _exclusive_prefix(
+        seqs.select("doc_id", n_col).filter(F.col("n") > 0),
+        range_keys=["doc_id"], order_keys=["doc_id"], group_keys=[],
+        group_schema="", weight="n", out_col="off", partitions=n_par)
 
     # chunk-aligned segments, sliced inside Catalyst per doc.  Chunk ids
     # use integer DIV: a float64 division would lose exactness once the
@@ -186,27 +222,10 @@ def shard_chunks(chunks: DataFrame, n_shards: int, seed: int = 0,
     u = md5_long(F.concat_ws(
         ":", F.lit(str(int(seed))), F.col("chunk_id").cast("string")))
     keyed = (chunks.select("chunk_id", u.alias("u"))
-             .withColumn("shard", (F.col("u") % n_shards).cast("int"))
-             .repartitionByRange(n_par, "shard", "u", "chunk_id")
-             .withColumn("pid", F.spark_partition_id())
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    totals = keyed.groupBy("pid", "shard").agg(
-        F.count("*").alias("c")).collect()
-    prefix_rows, acc = [], {}
-    for r in sorted(totals, key=lambda r: (r["shard"], r["pid"])):
-        prefix_rows.append((r["pid"], r["shard"], acc.get(r["shard"], 0)))
-        acc[r["shard"]] = acc.get(r["shard"], 0) + int(r["c"])
-    prefix_df = spark.createDataFrame(prefix_rows,
-                                      "pid int, shard int, part_off long")
-    in_pid = Window.partitionBy("pid", "shard").orderBy("u", "chunk_id")
-    out = (keyed.join(F.broadcast(prefix_df), ["pid", "shard"])
-           .withColumn("pos", F.col("part_off")
-                       + F.row_number().over(in_pid) - 1)
-           .select("chunk_id", "shard", "pos"))
-    # materialize before releasing the persisted frame: a lazy recompute
-    # could re-draw the range boundaries and skew every position
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    out = (out.checkpoint(eager=True) if reliable
-           else out.localCheckpoint(eager=True))
-    keyed.unpersist()
-    return out
+             .withColumn("shard", (F.col("u") % n_shards).cast("int")))
+    out = _exclusive_prefix(
+        keyed, range_keys=["shard", "u", "chunk_id"],
+        order_keys=["u", "chunk_id"], group_keys=["shard"],
+        group_schema="shard int", weight=None, out_col="pos",
+        partitions=n_par)
+    return out.select("chunk_id", "shard", "pos")

@@ -103,14 +103,24 @@ def sequences_from_events(spark: SparkSession, sf_dir: str,
     one doc per user, tokens = value stream quantized in event-time order.
     Deterministic given the input, so a DuckDB oracle can rebuild it."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # a NULL/NaN event value must become the SENTINEL gap token, exactly
+    # like the synthetic generator's NaN blocks: round(NULL*1000) would
+    # put a NULL ELEMENT inside `tokens` (crashing every downstream
+    # np.asarray(..., int32) decoder), and a NaN would fail the whole
+    # build under ANSI casting.  The oracle SQLs quantize with a bare
+    # round(value*1000) — sound because the driver tables carry no
+    # NULL/NaN values (asserted for sf0.001/0.01/0.1); the guard is for
+    # real-world inputs.
+    tok_of = lambda v: (F.when(v.isNull() | F.isnan(v),
+                               F.lit(int(SENTINEL)))
+                        .otherwise(F.round(v * 1000))).cast("int")
     w_vals = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value"))))
     agg = (ev.groupBy("user_id")
              .agg(w_vals.alias("ordered"))
              .select(
                  F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("doc_id"),
-                 F.slice(F.transform("ordered",
-                                     lambda s: F.round(s["value"] * 1000).cast("int")),
+                 F.slice(F.transform("ordered", lambda s: tok_of(s["value"])),
                          1, max_tokens).alias("tokens"),
                  F.lit("events").alias("source"))
              .withColumn("n_tok", F.size("tokens").cast("int")))
