@@ -2339,26 +2339,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # coalesce(text, ''): these oracles twin the _words_safe operators,
+    # whose contract is "NULL text reads as empty STRING" (one ''
+    # whitespace token, zero regex tokens — split semantics both engines
+    # share); without it DuckDB emits NULL counts where Spark emits the
+    # empty-string row and a NULL doc would hash-mismatch
     sqls["token_counts"] = """
         SELECT doc_id,
-               len(string_split(lower(text), ' ')) AS n_ws_tokens,
-               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
-                   AS n_bpe_tokens,
-               len(list_distinct(
-                   regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
-                   AS n_bpe_types
+               len(string_split(lower(coalesce(text, '')), ' '))
+                   AS n_ws_tokens,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+               len(list_distinct(regexp_extract_all(coalesce(text, ''),
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS n_bpe_types
         FROM documents
     """
 
     sqls["text_stats"] = f"""
         SELECT doc_id,
-               len(string_split(lower(text), ' ')) AS n_tokens,
-               round((n_chars - (len(string_split(lower(text), ' ')) - 1))
-                     / (len(string_split(lower(text), ' ')) * 1.0), 6)
-                   AS avg_word_len,
-               len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-                                  {_STOP})) AS stopword_kinds,
-               CASE WHEN len(string_split(lower(text), ' ')) >= 50
+               len(string_split(lower(coalesce(text, '')), ' ')) AS n_tokens,
+               round((n_chars
+                      - (len(string_split(lower(coalesce(text, '')), ' '))
+                         - 1))
+                     / (len(string_split(lower(coalesce(text, '')), ' '))
+                        * 1.0), 6) AS avg_word_len,
+               len(list_intersect(
+                   list_distinct(string_split(lower(coalesce(text, '')), ' ')),
+                   {_STOP})) AS stopword_kinds,
+               CASE WHEN len(string_split(lower(coalesce(text, '')), ' ')) >= 50
                     THEN 1 ELSE 0 END AS len_ok
         FROM documents
     """
@@ -2366,13 +2374,17 @@ def oracle_sql() -> dict[str, str]:
     sqls["lang_id"] = f"""
         SELECT doc_id,
                round(len(list_intersect(list_distinct(
-                         string_split(lower(text), ' ')), {_STOP}))
-                     / (len(list_distinct(string_split(lower(text), ' '))) * 1.0),
-                     6) AS stop_ratio,
+                         string_split(lower(coalesce(text, '')), ' ')),
+                         {_STOP}))
+                     / (len(list_distinct(
+                         string_split(lower(coalesce(text, '')), ' ')))
+                        * 1.0), 6) AS stop_ratio,
                CASE WHEN len(list_intersect(list_distinct(
-                             string_split(lower(text), ' ')), {_STOP}))
+                             string_split(lower(coalesce(text, '')), ' ')),
+                             {_STOP}))
                          / (len(list_distinct(
-                             string_split(lower(text), ' '))) * 1.0) >= 0.05
+                             string_split(lower(coalesce(text, '')), ' ')))
+                            * 1.0) >= 0.05
                     THEN 'en' ELSE 'other' END AS lang_guess
         FROM documents
     """
@@ -2958,7 +2970,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (
             SELECT doc_id::VARCHAR AS doc_id,
                    list_transform(
-                       regexp_extract_all(text,
+                       regexp_extract_all(coalesce(text, ''),
                            '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
                        t -> (('0x' || substr(md5(t), 1, 14))::BIGINT
                              % 50257)::INT) AS w
@@ -3024,7 +3036,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["tokenize_docs"] = r"""
         WITH tok AS (
             SELECT doc_id, source,
-                   regexp_extract_all(text,
+                   regexp_extract_all(coalesce(text, ''),
                        '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS toks
             FROM documents)
         SELECT doc_id::VARCHAR AS doc_id,

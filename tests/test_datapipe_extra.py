@@ -478,8 +478,12 @@ def test_prefix_join_shingle_cache_is_tracked(spark):
 
 
 def test_text_ops_null_text_sane(spark):
-    """NULL text reads as empty: size(NULL)=-1 used to poison every count
-    and classify a NULL doc as 'en' with stop_ratio 1.0."""
+    """NULL text reads as empty STRING: size(NULL)=-1 used to poison every
+    count and classify a NULL doc as 'en' with stop_ratio 1.0.  The pinned
+    contract (shared by the DuckDB oracles, which coalesce the same way):
+    whitespace-split of '' is [''] -> exactly 1 ws token, while the regex
+    extractor finds 0 tokens in '' -> bpe counts and tokenize are 0/[] —
+    the same asymmetry a genuinely-empty-text doc has in both engines."""
     from wotan_spark.spark.datapipe import (lang_id, text_stats,
                                             token_counts,
                                             tokenize_documents)
@@ -493,8 +497,9 @@ def test_text_ops_null_text_sane(spark):
     assert li[2].stop_ratio == 0.0 and li[2].lang_guess == "other"
     assert li[1].lang_guess == "en"
     ts = {r.doc_id: r for r in text_stats(docs).collect()}
-    assert ts[2].n_tokens >= 0 and ts[2].stopword_kinds == 0
+    assert ts[2].n_tokens == 1 and ts[2].stopword_kinds == 0
     tc = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert tc[2].n_ws_tokens == 1
     assert tc[2].n_bpe_tokens == 0 and tc[2].n_bpe_types == 0
     tk = {r.doc_id: r for r in tokenize_documents(docs).collect()}
     assert tk["2"].n_tok == 0 and tk["2"].tokens == []

@@ -32,8 +32,12 @@ def _words(col):
 
 
 def _words_safe(col: str):
-    """``_words`` with NULL text read as empty (for operators that must
-    emit a row per input doc regardless)."""
+    """``_words`` with NULL text read as the empty STRING (for operators
+    that must emit a row per input doc regardless).  Pinned contract:
+    whitespace-split of '' is [''] — one empty token — in both Spark and
+    the DuckDB oracles (which coalesce identically), while regex-based
+    extraction finds 0 tokens in ''; that ws/bpe asymmetry is inherent to
+    split semantics and holds equally for genuinely-empty-text docs."""
     return _words(F.coalesce(F.col(col), F.lit("")))
 
 

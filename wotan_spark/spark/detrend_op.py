@@ -232,16 +232,14 @@ def detrend_sequences_auto(df: DataFrame, method: str = "biweight",
         chunk_size = chunk_threshold
     short = df.filter(F.col("n_tok") <= chunk_threshold)
     long_ = df.filter(F.col("n_tok") > chunk_threshold)
-    # detrend_sequences-only kwargs are handled HERE (explicit params),
-    # never forwarded blind into the chunked branch whose **params reach
-    # detrend_series — an asymmetric kwarg (e.g. outputs) either broke the
-    # union at plan time or TypeError'd every executor task
+    # both branches take ``outputs`` as an explicit kwarg, so the pruning
+    # happens INSIDE each UDF (an unwanted array never crosses Arrow —
+    # twice, for the chunked branch) and the union's schemas agree by
+    # construction; **params carries only detrend_series kwargs
     chunked = detrend_sequences_chunked(long_, method=method,
                                         chunk_size=chunk_size,
-                                        keep_tokens=keep_tokens, **params)
-    drop = [c for c in ("flat", "trend") if c not in outputs]
-    if drop:
-        chunked = chunked.drop(*drop)
+                                        keep_tokens=keep_tokens,
+                                        outputs=outputs, **params)
     return (detrend_sequences(short, method=method, keep_tokens=keep_tokens,
                               outputs=outputs, **params)
             .unionByName(chunked))
@@ -289,15 +287,21 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
                               overlap: int | None = None,
                               num_partitions: int | None = None,
                               keep_tokens: bool = False,
+                              outputs: tuple[str, ...] = ("flat", "trend"),
                               **params) -> DataFrame:
     """Skew-safe detrend: chunk, spread, detrend, reassemble.
 
     Exact for the local (slider/filter) methods when
     ``overlap >= window_length + break_tolerance``.  ``keep_tokens``
     carries the core token slices through the pieces and reassembles the
-    original arrays bit-exactly (the per-row invariant).
+    original arrays bit-exactly (the per-row invariant).  ``outputs``
+    prunes result arrays at the UDF boundary like ``detrend_sequences``:
+    an unwanted array is dropped before it crosses Arrow — and here it
+    crosses TWICE (pieces, then reassembly), so the saving doubles.
     """
     params = dict(params, method=method)
+    want_flat = "flat" in outputs
+    want_trend = "trend" in outputs
     if overlap is None:
         overlap = _chunk_overlap(params)
 
@@ -318,9 +322,13 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
         StructField("chunk_id", IntegerType(), False),
         StructField("n_tok", IntegerType(), False),
         StructField("source", StringType(), True),
-        StructField("flat", ArrayType(DoubleType(), True), True),
-        StructField("trend", ArrayType(DoubleType(), True), True),
     ]
+    if want_flat:
+        piece_fields.append(
+            StructField("flat", ArrayType(DoubleType(), True), True))
+    if want_trend:
+        piece_fields.append(
+            StructField("trend", ArrayType(DoubleType(), True), True))
     if keep_tokens:
         piece_fields.append(
             StructField("tokens", ArrayType(IntegerType(), True), False))
@@ -333,8 +341,10 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
                 toks = np.asarray(toks, dtype=np.int32)
                 flat, trend = _detrend_one(toks, params)
                 sl = slice(int(lead), int(lead) + int(core))
-                flats.append(flat[sl])
-                trends.append(trend[sl])
+                if want_flat:
+                    flats.append(flat[sl])
+                if want_trend:
+                    trends.append(trend[sl])
                 if keep_tokens:
                     toks_out.append(toks[sl])
             out = pd.DataFrame({
@@ -342,9 +352,11 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
                 "chunk_id": pdf["chunk_id"].astype("int32"),
                 "n_tok": pdf["n_tok"].astype("int32"),
                 "source": pdf["source"],
-                "flat": flats,
-                "trend": trends,
             })
+            if want_flat:
+                out["flat"] = flats
+            if want_trend:
+                out["trend"] = trends
             if keep_tokens:
                 out["tokens"] = toks_out
             yield out
@@ -353,22 +365,32 @@ def detrend_sequences_chunked(df: DataFrame, method: str = "biweight",
 
     def reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_id")
-        flat = np.concatenate([np.asarray(a, dtype=np.float64)
-                               for a in pdf["flat"]])
-        trend = np.concatenate([np.asarray(a, dtype=np.float64)
-                                for a in pdf["trend"]])
         out = pd.DataFrame({
             "doc_id": [key[0]],
             "n_tok": [np.int32(pdf["n_tok"].iloc[0])],
             "source": [pdf["source"].iloc[0]],
-            "flat": [flat],
-            "trend": [trend],
         })
+        if want_flat:
+            out["flat"] = [np.concatenate([np.asarray(a, dtype=np.float64)
+                                           for a in pdf["flat"]])]
+        if want_trend:
+            out["trend"] = [np.concatenate([np.asarray(a, dtype=np.float64)
+                                            for a in pdf["trend"]])]
         if keep_tokens:
             out["tokens"] = [np.concatenate(
                 [np.asarray(a, dtype=np.int32) for a in pdf["tokens"]])]
         return out
 
+    out_fields = [f for f in DETREND_SCHEMA.fields
+                  if f.name not in ("flat", "trend")]
+    if want_flat:
+        out_fields.append(
+            StructField("flat", ArrayType(DoubleType(), True), True))
+    if want_trend:
+        out_fields.append(
+            StructField("trend", ArrayType(DoubleType(), True), True))
+    if keep_tokens:
+        out_fields.append(
+            StructField("tokens", ArrayType(IntegerType(), True), False))
     return pieces.groupBy("doc_id").applyInPandas(
-        reassemble,
-        schema=DETREND_SCHEMA_TOKENS if keep_tokens else DETREND_SCHEMA)
+        reassemble, schema=StructType(out_fields))

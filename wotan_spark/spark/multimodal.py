@@ -228,14 +228,13 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                 # the codec column must say so or a downstream decode breaks
                 codecs_out.append("raw")
                 frames.append(new_nf)
-                # keeping every N-th audio frame divides the effective
-                # sample rate; leaving it unchanged made every downstream
-                # duration/pitch computation wrong by N (the
-                # payload-contradicts-metadata hazard this function's
-                # image pass-through exists to avoid)
+                # keeping every N-th frame divides the effective rate for
+                # BOTH audio (samples/s) and video (frames/s); leaving it
+                # unchanged made every downstream duration/pitch/fps
+                # computation wrong by N (the payload-contradicts-metadata
+                # hazard this function's image pass-through exists to avoid)
                 rates.append(max(1, rate_i // every)
-                             if mod == "audio" and rate_i is not None
-                             else rate_i)
+                             if rate_i is not None else rate_i)
             out["payload"] = payloads
             out["codec"] = codecs_out
             out["n_frames"] = pd.array(frames, dtype="Int32")

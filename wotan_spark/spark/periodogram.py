@@ -50,6 +50,9 @@ def dominant_periods(seq: DataFrame, top_k: int = 1,
     nf = int(n_freqs) if n_freqs is not None else LS_FREQS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # hoisted out of the per-document loop (same pattern as the
+        # rollup/detrend UDF closures): one import per task, not per row
+        from wotan_spark.spark.synth import decode_tokens
         for pdf in batches:
             ids, ranks, periods, powers = [], [], [], []
             for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
@@ -58,7 +61,6 @@ def dominant_periods(seq: DataFrame, top_k: int = 1,
                 # power spectrum with the gap's window function.  The
                 # surviving points keep their original token indexes —
                 # Lomb-Scargle exists precisely for irregular grids.
-                from wotan_spark.spark.synth import decode_tokens
                 y_all = decode_tokens(np.asarray(toks, dtype=np.int32))
                 ok = ~np.isnan(y_all)
                 y = y_all[ok]

@@ -214,11 +214,9 @@ class Pipeline:
         does).  Stamped into the maintained stages' fingerprints: a
         maintained table stays 'done' across incremental growth but goes
         stale — and rebuilds — when the base corpus is re-ingested."""
-        for m in reversed(self.tables["sequences"].snapshots()):
-            fp = m.get("meta", {}).get("fingerprint")
-            if fp is not None:
-                return fp
-        return "input"
+        from wotan_spark.spark.lakehouse import newest_stamped
+        rec = newest_stamped(self.tables["sequences"], "fingerprint")
+        return rec["meta"]["fingerprint"] if rec is not None else "input"
 
     def _maintained_fp(self, family_fp: str) -> str:
         """Fingerprint for MERGE-maintained stages (tiers, sketches,
@@ -237,7 +235,7 @@ class Pipeline:
 
         if stop_after is not None and stop_after not in (
                 "chunks", "detrended", "tier10", "tier100", "sketches",
-                "periods"):
+                "periods", "blocks"):
             # an unknown name silently matched NO return point and ran the
             # whole pipeline — fail before any stage does hours of work
             raise ValueError(f"unknown stop_after {stop_after!r}")

@@ -84,8 +84,13 @@ def apply_retention(spark: SparkSession,
                 have_stats = False
                 break
             total += sum(int(s.get("rows", 0)) for s in st.values())
+        # merge_schema: the rewrite must carry EVERY evolved column —
+        # without it Spark takes one arbitrary footer's schema and the
+        # overwrite would permanently drop columns appended by later
+        # commits (compact() reads the same way for the same reason)
         kept_df = table.read(spark,
-                             where=(bucket_col, cutoff, _BUCKET_MAX))
+                             where=(bucket_col, cutoff, _BUCKET_MAX),
+                             merge_schema=True)
         if not have_stats:
             total = table.read(spark).count()
         kept = kept_df.count()
