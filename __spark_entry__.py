@@ -2332,10 +2332,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 HAVING count(*) > 1
     """
 
+    # coalesce the JOINED string, not the input: Spark's concat_ws skips
+    # a NULL array argument and yields '' (md5('') fingerprint), whereas
+    # DuckDB's array_to_string(NULL) is NULL — twin that exact semantic
     sqls["doc_fingerprint"] = """
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(
-                   string_split(lower(text), ' '))), ' ')) AS fingerprint
+               md5(coalesce(array_to_string(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), ' '), ''))
+                   AS fingerprint
         FROM documents
     """
 
@@ -2905,7 +2909,8 @@ def oracle_sql() -> dict[str, str]:
     # keys are internal; equal grams give equal drops up to 2^-64
     # collisions), mirroring the islands merge and rebuild exactly
     sqls["dedup_spans"] = """
-        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        WITH w AS (SELECT doc_id,
+                          string_split(lower(coalesce(text, '')), ' ') AS w
                    FROM documents),
         occ AS (SELECT doc_id,
                        unnest([{'pos': i - 1,
@@ -3042,9 +3047,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id::VARCHAR AS doc_id,
                len(toks)::INT AS n_tok,
                source,
-               md5(array_to_string(list_transform(toks,
+               md5(coalesce(array_to_string(list_transform(toks,
                    t -> ((('0x' || substr(md5(t), 1, 14))::BIGINT % 50257)
-                         )::VARCHAR), ',')) AS tok_md5
+                         )::VARCHAR), ','), '')) AS tok_md5
         FROM tok
     """
 

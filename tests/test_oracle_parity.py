@@ -184,3 +184,49 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+# Every oracle that reads documents.text must agree with its Spark twin
+# on NULL-text docs — the engines' NULL string semantics differ (Spark
+# concat_ws skips a NULL array, DuckDB array_to_string(NULL) is NULL;
+# split(NULL) poisons counts), so each oracle coalesces explicitly and
+# this test pins that the coalescing is COMPLETE (rounds 5c/5d each
+# found a text-op oracle the previous sweep missed).
+NULL_TEXT_KEYS = [
+    "dedup_exact", "doc_fingerprint", "text_stats", "token_counts",
+    "lang_id", "repetition_stats", "tokenize_docs", "dedup_spans",
+    "dedup_token_spans",
+]
+
+
+@pytest.fixture(scope="module")
+def null_docs_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"   # 8-gram x2
+    texts = [run + " unique tail one", "head words " + run,
+             None, None, "", "solo words only here"]
+    rows = {
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["web"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
+    }
+    d = tmp_path_factory.mktemp("nulldocs")
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_KEYS)
+def test_null_text_doc_oracle_parity(spark, null_docs_dir, name):
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{null_docs_dir}/documents.parquet')")
+        got = entrymod.queries()[name](spark, null_docs_dir).toPandas()
+        want = con.sql(entrymod.oracle_sql()[name]).df()
+    finally:
+        con.close()
+    _compare(f"null_text::{name}", got, want)

@@ -37,10 +37,6 @@ DETREND_SCHEMA = StructType([
     StructField("trend", ArrayType(DoubleType(), True), True),
 ])
 
-DETREND_SCHEMA_TOKENS = StructType(
-    DETREND_SCHEMA.fields
-    + [StructField("tokens", ArrayType(IntegerType(), True), False)])
-
 CHUNK_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
     StructField("chunk_id", IntegerType(), False),

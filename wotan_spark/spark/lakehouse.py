@@ -69,8 +69,18 @@ def newest_stamped(table: "SnapshotTable", key: str) -> dict | None:
     rewrite_manifests, merge_buckets, retention) commits new snapshots
     WITHOUT the stamps, and a HEAD-only read bricks the consumer after
     routine maintenance.  Shared by the ANN and near-dup index
-    maintainers."""
-    for m in reversed(table.snapshots()):
+    maintainers, the retention cutoff gates and pipeline stage resume
+    (no writer stamps a key with value None, so key-presence is the
+    whole test)."""
+    return newest_stamped_in(table.snapshots(), key)
+
+
+def newest_stamped_in(snapshots: list, key: str) -> dict | None:
+    """``newest_stamped`` over an already-materialized snapshot chain
+    (oldest..newest) — for callers that hold the chain anyway, e.g. the
+    expiry scan that must read the cutoff off the FULL chain before
+    truncating it."""
+    for m in reversed(snapshots):
         if key in m.get("meta", {}):
             return m
     return None

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wotan_spark.spark.blocks import encode_blocks
 from wotan_spark.spark.detrend_op import detrend_sequences_auto
-from wotan_spark.spark.lakehouse import SnapshotTable
+from wotan_spark.spark.lakehouse import SnapshotTable, newest_stamped
 from wotan_spark.spark.rollup import cascade_tier, rollup_tier10
 
 
@@ -170,11 +170,8 @@ class Pipeline:
         ``fingerprint`` key and are transparent to resume; incremental
         tier merges stamp the config fingerprint and so keep a maintained
         table 'done'."""
-        for m in reversed(self.tables[name].snapshots()):
-            fp = m.get("meta", {}).get("fingerprint")
-            if fp is not None:
-                return fp == fingerprint
-        return False
+        m = newest_stamped(self.tables[name], "fingerprint")
+        return m is not None and m["meta"]["fingerprint"] == fingerprint
 
     def _commit_stage(self, name: str, df: DataFrame, fingerprint: str,
                       input_snapshot, run_id: str, t_start: float) -> int:
@@ -214,7 +211,6 @@ class Pipeline:
         does).  Stamped into the maintained stages' fingerprints: a
         maintained table stays 'done' across incremental growth but goes
         stale — and rebuilds — when the base corpus is re-ingested."""
-        from wotan_spark.spark.lakehouse import newest_stamped
         rec = newest_stamped(self.tables["sequences"], "fingerprint")
         return rec["meta"]["fingerprint"] if rec is not None else "input"
 

@@ -22,7 +22,8 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from wotan_spark.spark.lakehouse import SnapshotTable
+from wotan_spark.spark.lakehouse import (SnapshotTable, newest_stamped,
+                                         newest_stamped_in)
 
 # upper bound for the where=(bucket, cutoff, hi) pruned read — any real
 # bucket id (token index / factor) sits far below 2^62
@@ -107,11 +108,8 @@ def retention_cutoff(table: SnapshotTable) -> int | None:
     cannot resurrect aged-out buckets."""
     if table.current_snapshot_id() is None:
         return None
-    for m in reversed(table.snapshots()):
-        c = m.get("meta", {}).get("retention_cutoff")
-        if c is not None:
-            return int(c)
-    return None
+    m = newest_stamped(table, "retention_cutoff")
+    return int(m["meta"]["retention_cutoff"]) if m is not None else None
 
 
 def expire_snapshots(table: SnapshotTable, keep_last: int = 2,
@@ -244,12 +242,9 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2,
         # table whose history is fully intact)
         return {"expired": len(expired), "dirs_deleted": len(drop_dirs),
                 "manifests_deleted": dropped_manifests}
-    newest_cutoff = None
-    for m in reversed(chain):
-        c = m.get("meta", {}).get("retention_cutoff")
-        if c is not None:
-            newest_cutoff = int(c)
-            break
+    stamped = newest_stamped_in(chain, "retention_cutoff")
+    newest_cutoff = (int(stamped["meta"]["retention_cutoff"])
+                     if stamped is not None else None)
     oldest = dict(kept[0])
     oldest["parent"] = None
     oldest["meta"] = dict(oldest.get("meta") or {})
