@@ -188,15 +188,26 @@ def test_entry_smoke(spark):
 
 # Every oracle that reads documents.text must agree with its Spark twin
 # on NULL-text docs — the engines' NULL string semantics differ (Spark
-# concat_ws skips a NULL array, DuckDB array_to_string(NULL) is NULL;
-# split(NULL) poisons counts), so each oracle coalesces explicitly and
-# this test pins that the coalescing is COMPLETE (rounds 5c/5d each
-# found a text-op oracle the previous sweep missed).
-NULL_TEXT_KEYS = [
-    "dedup_exact", "doc_fingerprint", "text_stats", "token_counts",
-    "lang_id", "repetition_stats", "tokenize_docs", "dedup_spans",
-    "dedup_token_spans",
-]
+# concat_ws skips a NULL array, DuckDB array_to_string(NULL) — and of an
+# empty list — is NULL; split(NULL) poisons counts), so each oracle
+# coalesces explicitly.  The key list is DERIVED from the contract, not
+# hand-maintained: rounds 5c/5d each found a text-op oracle a hand-kept
+# sweep had missed, so a future oracle that reads documents.text joins
+# this gate automatically.
+import re as _re
+
+NULL_TEXT_KEYS = sorted(
+    k for k, s in entrymod.oracle_sql().items()
+    if _re.search(r"\bfrom\s+documents\b", s, _re.I)
+    and _re.search(r"\btext\b", s, _re.I))
+
+
+def test_null_text_keys_derivation_is_live():
+    # the family the 5c/5d regressions lived in must all be caught
+    assert {"dedup_exact", "doc_fingerprint", "text_stats",
+            "token_counts", "lang_id", "repetition_stats",
+            "tokenize_docs", "dedup_spans",
+            "dedup_token_spans"} <= set(NULL_TEXT_KEYS)
 
 
 @pytest.fixture(scope="module")

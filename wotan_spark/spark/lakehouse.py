@@ -350,6 +350,11 @@ class SnapshotTable:
         carries manifest NAMES only — O(delta) commit metadata however
         many data files the table holds."""
         sid = self._next_sid()
+        # key-presence IS the stamp test (newest_stamped and every
+        # consumer of fingerprint/retention_cutoff/index stamps): a
+        # None-valued stamp must read as "not stamped", so enforce that
+        # here at the single commit seam instead of trusting each writer
+        meta = {k: v for k, v in meta.items() if v is not None}
         manifest = {
             "snapshot_id": sid,
             "parent": parent,

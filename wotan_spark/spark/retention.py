@@ -106,8 +106,6 @@ def retention_cutoff(table: SnapshotTable) -> int | None:
     """Newest retention cutoff committed to a table (None if never
     retained) — merge paths gate late data behind this so stragglers
     cannot resurrect aged-out buckets."""
-    if table.current_snapshot_id() is None:
-        return None
     m = newest_stamped(table, "retention_cutoff")
     return int(m["meta"]["retention_cutoff"]) if m is not None else None
 
