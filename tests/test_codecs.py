@@ -63,3 +63,13 @@ def test_blocks_roundtrip_spark(spark):
         rebuilt.setdefault(r.doc_id, []).extend(r.values)
     for doc_id, vals in rebuilt.items():
         npt.assert_array_equal(np.asarray(vals, dtype=np.int64), orig[doc_id])
+
+
+def test_dod_full_int64_extremes_roundtrip():
+    """The docstring promise is the FULL int64 range via modulo-2^64
+    delta arithmetic — pin the extremes (wrap-around deltas) exactly,
+    beyond the +/-2^62 envelope the property test draws from."""
+    i64 = np.iinfo(np.int64)
+    arr = np.array([i64.min, i64.max, 0, i64.max, i64.min, -1, 1,
+                    i64.min + 1, i64.max - 1], dtype=np.int64)
+    npt.assert_array_equal(dod.decode(dod.encode(arr)), arr)
