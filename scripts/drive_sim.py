@@ -17,12 +17,14 @@ Exit code 0 = every checked query passed.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-REPO = "/root/repo"
-TABLES = ["events", "documents", "embeddings", "lineitem", "orders",
-          "customer", "supplier", "part", "nation", "region"]
+# the checkout this script LIVES in, not a hardcoded path — running a
+# worktree's copy must validate the worktree's code, never a sibling
+# checkout that happens to sit at a well-known location
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
@@ -36,7 +38,7 @@ def main() -> int:
     import duckdb
     import __spark_entry__ as m
     from pyspark.sql import SparkSession
-    from wotan_spark.oracle_compare import compare
+    from wotan_spark.oracle_compare import compare, register_views
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
@@ -45,9 +47,7 @@ def main() -> int:
              .config("spark.driver.memory", "8g")
              .getOrCreate())
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{args.sf_dir}/{t}.parquet')")
+    register_views(con, args.sf_dir)
 
     n_entry = m.entry(spark).count()
     print(f"entry(): {n_entry} rows", flush=True)
@@ -55,7 +55,11 @@ def main() -> int:
     q, o = m.queries(), m.oracle_sql()
     names = list(q) if args.all else list(q)[:m.DRIVER_QUERY_CAP]
     if args.only:
-        names = [n for n in args.only.split(",") if n]
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in q]
+        if unknown:
+            ap.error(f"--only names not in the contract: {unknown} "
+                     f"(see queries() in {REPO}/__spark_entry__.py)")
     failed = []
     for i, name in enumerate(names, 1):
         t0 = time.time()

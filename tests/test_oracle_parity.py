@@ -13,24 +13,22 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * "
-                f"FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    register_views(con, SF_DIR)
     yield con
     con.close()
 
 
-# the comparator is shared with scripts/drive_sim.py so "driver parity"
-# has exactly one definition (round-5b review finding: two hand-rolled
-# copies with subtly different canonicalization)
+# the comparator AND the oracle view set are shared with
+# scripts/drive_sim.py so "driver parity" has exactly one definition
+# (round-5b review finding: two hand-rolled copies with subtly different
+# canonicalization; the table list had the same two-copies hazard)
 from wotan_spark.oracle_compare import compare as _compare  # noqa: E402
+from wotan_spark.oracle_compare import register_views  # noqa: E402
 
 
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())

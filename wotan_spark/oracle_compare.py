@@ -19,6 +19,20 @@ import math
 import numpy as np
 import pandas as pd
 
+# the contract's pre-registered oracle views — ONE list shared by the
+# parity suite and drive_sim (the table set is part of "driver parity"
+# just like the comparator: a new contract table added to one copy but
+# not the other fails only in the copy that lacks it)
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def register_views(con, sf_dir: str) -> None:
+    """Create the contract's DuckDB table views over a parquet dir."""
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
 
 def values_equal(a, b, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
     """Scalar/list cell equality: float tolerance, NaN==NaN, element-wise
