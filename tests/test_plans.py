@@ -242,3 +242,18 @@ def test_lazy_pair_plans_keep_their_caches(spark):
         final = _plan(df).split("== Initial Plan ==")[0]
         n_scans = final.count("FileScan parquet")
         assert n_scans == 1, f"expected 1 scan, found {n_scans}"
+
+
+def test_token_histogram_topk_is_distributed(spark):
+    """The top-k cut over the vocabulary must be TakeOrderedAndProject
+    (per-partition k-row heaps), never an unpartitioned window sorting
+    the full count frame on one task — the vocabulary is corpus-scale
+    for a web corpus, so that window IS the corpus shuffled to one
+    executor."""
+    from wotan_spark.spark.datapipe import token_histogram
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(token_histogram(docs, top_k=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Window node runs over the already-limited (<=k) frame:
+    # it must sit ABOVE the top-k cut in the plan text, not below it
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan

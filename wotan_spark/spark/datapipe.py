@@ -616,15 +616,19 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
 def token_histogram(docs: DataFrame, top_k: int = 50) -> DataFrame:
     """Top-k global token histogram over the BPE-ish tokenization:
     (token, n, rank) with deterministic ties (count desc, token asc).
-    The rank sort runs over the VOCABULARY (post-aggregation), which is
-    orders smaller than the corpus — the corpus itself sees one
-    partial+final count aggregation."""
+    The top-k cut is ``orderBy().limit(k)``, which Catalyst compiles to
+    ``TakeOrderedAndProject`` — each partition keeps a k-row heap and only
+    k rows per partition ever reach the driver-side merge, so the full
+    vocabulary (itself corpus-scale for a web corpus: every typo is a
+    token) is never sorted on, or moved to, one task.  Rank is then a
+    window over the <=k survivors only — bounded by construction, unlike
+    an unpartitioned row_number over the whole count frame."""
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
     counts = (_spread(docs).select(F.explode(bpe).alias("token"))
               .groupBy("token").agg(F.count("*").alias("n")))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
