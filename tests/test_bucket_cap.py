@@ -135,3 +135,27 @@ def test_block_cache_lru_refresh_and_release(spark):
     released = clear_block_caches()
     assert released == 4
     assert dp._LIVE_BLOCK_CACHE == []
+
+
+def test_block_cache_hit_skips_repersist_but_reads_cache(spark):
+    """A re-issued identical plan must not call persist() again (that is
+    the CacheManager \"already cached\" warning), yet its reads still hit
+    the live InMemoryRelation via canonical-plan rewrite."""
+    import wotan_spark.spark.datapipe as dp
+    from wotan_spark.spark.datapipe import clear_block_caches
+
+    clear_block_caches()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = dp._register_session_cache(docs.select("doc_id"))
+    a.count()                                # materialize the cache
+    b = dp._register_session_cache(docs.select("doc_id"))
+    # one tracked handle — the hit path tracked nothing new, and the
+    # caller's handle is still served by the live InMemoryRelation via
+    # canonical-plan rewrite (storageLevel itself resolves through
+    # CacheManager, so it can't distinguish the two persist calls —
+    # the plan shape can)
+    assert len(dp._LIVE_BLOCK_CACHE) == 1
+    assert b is not a
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert clear_block_caches() == 1

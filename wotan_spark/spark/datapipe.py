@@ -188,10 +188,11 @@ def _register_session_cache(df: DataFrame) -> DataFrame:
     session block-cache LRU, so ``clear_block_caches()`` can release it
     and at most ``_BLOCK_CACHE_LIMIT`` corpus-sized caches stay pinned.
     A semantically identical already-tracked plan refreshes its LRU
-    position instead of being double-tracked (the two plans share ONE
-    CacheManager entry)."""
+    position and is NOT re-persisted: CacheManager rewrites any
+    canonically-equal subplan to the live InMemoryRelation at execution
+    time, so a second persist() call would be a no-op that only emits
+    the \"Asked to cache already cached data\" warning."""
     from pyspark import StorageLevel
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     with _BLOCK_CACHE_LOCK:
         try:
             hit = next((i for i, prev in enumerate(_LIVE_BLOCK_CACHE)
@@ -202,6 +203,7 @@ def _register_session_cache(df: DataFrame) -> DataFrame:
         if hit is not None:
             _LIVE_BLOCK_CACHE.append(_LIVE_BLOCK_CACHE.pop(hit))
         else:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
             _LIVE_BLOCK_CACHE.append(df)
             while len(_LIVE_BLOCK_CACHE) > _BLOCK_CACHE_LIMIT:
                 try:
