@@ -211,3 +211,20 @@ def test_intra_batch_duplicate_vec_id_rejected(spark, tmp_path):
     # the clean batch still lands (the failed attempt committed nothing)
     out = idx.update_incremental(spark, delta, run_id="u-clean")
     assert out["new_rows"] == delta.count()
+
+
+def test_search_prunes_non_probed_cells_at_file_level(spark, tmp_path):
+    """The IVF point: code writes are clustered by centroid_id, so a
+    search's posting-list read skips non-probed cells' files entirely
+    (where_in stats pruning), not post-scan.  Results stay identical to
+    an unpruned scoring pass (existing recall/parity tests)."""
+    emb = _emb(spark)
+    idx = AnnIndex(str(tmp_path / "ann"), n_centroids=16)
+    idx.build(spark, emb)
+    got = idx.search(spark, emb, [0, 1], k=3, nprobe=2, rerank=32)
+    assert got.count() > 0
+    scan = idx.codes.last_scan
+    # 2 queries x 2 probes <= 4 distinct cells of 16: most files skipped
+    assert scan["files_pruned"] > 0, scan
+    assert scan["files_read"] < scan["files_read"] + scan["files_pruned"]
+    assert scan["files_read"] <= scan["files_pruned"], scan

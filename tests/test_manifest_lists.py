@@ -215,3 +215,27 @@ def test_meta_walkers_never_open_manifest_files(spark, tmp_path):
     # a data read DOES resolve the manifest list
     fresh2 = SnapshotTable(t.root)
     assert fresh2.read(spark).count() == 60
+
+
+def test_where_in_set_pruning(spark, tmp_path):
+    """Set-membership scan pruning (the IVF posting-list access pattern):
+    a scattered value set prunes every file whose stats range holds none
+    of the values — where a [min,max] envelope over the same set would
+    keep nearly everything — and the residual isin keeps results exact."""
+    t, df = _mk(spark, tmp_path)
+    for i in range(4):
+        t.append(df(i * 10, i * 10 + 10), batch=i)
+    got = t.read(spark, where_in=("id", [5, 35, 35]))
+    rows = {r.id for r in got.collect()}
+    assert rows == {5, 35}
+    assert t.last_scan["files_pruned"] > 0
+    # the envelope [5, 35] spans batches 1 and 2 entirely; the set must
+    # prune MORE than the range read does
+    t.read(spark, where=("id", 5, 35))
+    range_read = t.last_scan["files_read"]
+    t.read(spark, where_in=("id", [5, 35]))
+    assert t.last_scan["files_read"] < range_read
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, where=("id", 0, 1), where_in=("id", [2]))
+    with pytest.raises(ValueError, match="at least one"):
+        t.read(spark, where_in=("id", []))

@@ -148,8 +148,15 @@ class AnnIndex:
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "centroid_id": cell, "codes": list(codes)})
 
-        return emb.select("vec_id", "embedding") \
+        coded = emb.select("vec_id", "embedding") \
             .mapInPandas(run, schema=_CODE_SCHEMA)
+        # cluster by cell before the write: each data file then covers a
+        # tight centroid_id range (the IVF posting-list layout), so
+        # search's where_in read prunes non-probed cells at the FILE
+        # level instead of scanning the whole code table.  One cheapest-
+        # possible shuffle (20 B/row) at write time, paid once per batch.
+        return (coded.repartitionByRange(self.n_centroids, "centroid_id")
+                .sortWithinPartitions("centroid_id"))
 
     # -- lifecycle -------------------------------------------------------
     def build(self, spark: SparkSession, emb: DataFrame,
@@ -277,8 +284,7 @@ class AnnIndex:
         C, B, m_sid = self._load_model(spark)
         self._check_generation(m_sid)
         m, _, dsub = B.shape
-        coded = self.codes.read(spark)
-        if coded is None:
+        if self.codes.current_snapshot_id() is None:
             raise ValueError("index has no codes — call build()")
 
         qpdf = (emb.filter(F.col("vec_id").isin(query_ids))
@@ -291,6 +297,13 @@ class AnnIndex:
         order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
         probes = [(int(qid), int(cid))
                   for qid, row in zip(qids, order) for cid in row]
+        # posting-list read: the writes are clustered by centroid_id, so
+        # this prunes every file whose stats range holds no probed cell —
+        # non-probed cells are skipped at the file level, not filtered
+        # post-scan (self.codes.last_scan records files_read/files_pruned)
+        coded = self.codes.read(
+            spark, where_in=("centroid_id",
+                             sorted({cid for _, cid in probes})))
         probe_df = F.broadcast(spark.createDataFrame(
             probes, schema="query_id long, centroid_id int"))
         # LUT[q, s, c] = <Q_sub(q,s), centroid(s,c)>; ADC = sum_s LUT

@@ -33,6 +33,7 @@ alongside another writer.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import time
@@ -699,14 +700,20 @@ class SnapshotTable:
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              where: tuple | None = None,
              merge_schema: bool = False,
-             ref: str | None = None) -> DataFrame | None:
+             ref: str | None = None,
+             where_in: tuple | None = None) -> DataFrame | None:
         """Read a snapshot.  ``where=(col, lo, hi)`` prunes whole data files
         whose manifest min/max stats cannot overlap [lo, hi] — the Iceberg
         scan-pruning model — and applies the residual filter (so results are
-        exact even where stats were absent).  ``merge_schema=True`` unions
-        the file schemas (schema-evolution reads: columns appended by later
-        commits come back NULL for older files).  ``ref`` reads a named
-        tag/branch instead of HEAD."""
+        exact even where stats were absent).  ``where_in=(col, values)`` is
+        the set-membership variant: a file is pruned when NO value can fall
+        inside its stats range — the posting-list access pattern (an IVF
+        probe reads a scattered set of cells, not one range, so a [min,max]
+        envelope over the set would prune nothing once probes span the key
+        space).  ``merge_schema=True`` unions the file schemas
+        (schema-evolution reads: columns appended by later commits come
+        back NULL for older files).  ``ref`` reads a named tag/branch
+        instead of HEAD."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
@@ -721,13 +728,27 @@ class SnapshotTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        if where is None:
+        if where is None and where_in is None:
             return reader.parquet(*dirs)
-        col, lo, hi = where
+        if where is not None and where_in is not None:
+            raise ValueError("pass where or where_in, not both")
+        if where is not None:
+            col, lo, hi = where
+        else:
+            col, values = where_in
+            vals = sorted(set(values))
+            if not vals:
+                raise ValueError("where_in needs at least one value")
+            lo, hi = None, None          # unused on this path
 
         def _outside(c) -> bool:
             try:
-                return c[1] < lo or c[0] > hi
+                if where is not None:
+                    return c[1] < lo or c[0] > hi
+                # sorted set: disjoint iff the first value >= file-min
+                # does not exist or exceeds file-max
+                i = bisect.bisect_left(vals, c[0])
+                return i == len(vals) or vals[i] > c[1]
             except TypeError:
                 # stats round-trip through JSON as strings for date/
                 # decimal/... types: incomparable with the native bound ->
@@ -756,9 +777,9 @@ class SnapshotTable:
             schema = reader.parquet(
                 *(dirs if merge_schema else dirs[:1])).schema
             return spark.createDataFrame([], schema)
-        from pyspark.sql import functions as F
-        return (reader.parquet(*paths)
-                .filter(F.col(col).between(lo, hi)))
+        residual = (F.col(col).between(lo, hi) if where is not None
+                    else F.col(col).isin(vals))
+        return reader.parquet(*paths).filter(residual)
 
     def read_incremental(self, spark: SparkSession, since_snapshot_id: int,
                          snapshot_id: int | None = None) -> DataFrame | None:
