@@ -135,8 +135,8 @@ def test_wav_rejects_bad_inputs():
 # ---------------------------------------------------------------------------
 
 def test_builtin_codecs_registered_and_protected():
-    assert set(registered_codecs()) >= {"raw", "png", "wav"}
-    for codec in ("raw", "png", "wav"):
+    assert set(registered_codecs()) >= {"raw", "png", "jpeg", "wav"}
+    for codec in ("raw", "png", "jpeg", "wav"):
         with pytest.raises(ValueError, match="cannot be replaced"):
             register_decoder(codec, lambda b: b)
         with pytest.raises(ValueError, match="cannot be removed"):
@@ -296,3 +296,100 @@ def test_encode_png_accepts_flat_array():
     flat = np.arange(32, dtype=np.uint8)
     out = decode_png(encode_png(flat))
     assert (out == flat).all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) round-trips and error ladder
+# ---------------------------------------------------------------------------
+
+def test_jpeg_flat_image_near_exact():
+    from wotan_spark.codecs.jpeg import encode_jpeg, parse_jpeg
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    px, w, h, c = parse_jpeg(encode_jpeg(flat, channels=1, quality=90))
+    assert (w, h, c) == (24, 16, 1)
+    assert np.abs(px.astype(int) - 130).max() <= 1
+
+
+def test_jpeg_gradient_odd_size_bounded_error():
+    """Non-multiple-of-8 dims exercise the pad/crop path; a smooth ramp
+    must survive high-quality coding within a couple of levels."""
+    from wotan_spark.codecs.jpeg import encode_jpeg, parse_jpeg
+    g = np.add.outer(np.arange(13) * 3, np.arange(21) * 2).astype(np.uint8)
+    px, w, h, c = parse_jpeg(encode_jpeg(g, channels=1, quality=95))
+    assert (w, h, c) == (21, 13, 1)
+    assert np.abs(px.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_rgb_444_and_420_with_restarts():
+    from wotan_spark.codecs.jpeg import encode_jpeg, parse_jpeg
+    rgb = np.zeros((10, 18, 3), np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, 18, dtype=np.uint8)
+    rgb[..., 1] = 80
+    rgb[..., 2] = 200
+    flat = rgb.reshape(10, 54)
+    px, w, h, c = parse_jpeg(encode_jpeg(flat, channels=3, quality=95))
+    assert (w, h, c) == (18, 10, 3)
+    assert np.abs(px.astype(int) - flat.astype(int)).max() <= 2
+    # 4:2:0 subsampling + a restart marker every MCU: looser chroma bound,
+    # and the decode must consume every RSTn and reset DC predictors
+    enc = encode_jpeg(flat, channels=3, quality=95, subsampling="420",
+                      restart_interval=1)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+    px, w, h, c = parse_jpeg(enc)
+    assert (w, h, c) == (18, 10, 3)
+    assert np.abs(px.astype(int) - flat.astype(int)).max() <= 12
+
+
+def test_jpeg_quality_knob_monotonic():
+    """Higher quality -> bigger file and no worse reconstruction on a
+    deterministic textured image."""
+    from wotan_spark.codecs.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 64, (24, 24)).cumsum(axis=1) % 256) \
+        .astype(np.uint8)
+    sizes, errs = [], []
+    for q in (25, 75, 95):
+        enc = encode_jpeg(img, quality=q)
+        sizes.append(len(enc))
+        d = decode_jpeg(enc).astype(int)
+        errs.append(np.abs(d - img.reshape(-1).astype(int)).mean())
+    assert sizes[0] < sizes[1] < sizes[2], sizes
+    assert errs[0] >= errs[1] >= errs[2], errs
+
+
+def test_jpeg_rejects_bad_inputs():
+    from wotan_spark.codecs.jpeg import encode_jpeg, parse_jpeg
+    good = encode_jpeg(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        parse_jpeg(b"\x89PNG" + good[2:])
+    with pytest.raises(ValueError, match="SOF marker"):
+        # flip baseline SOF0 to progressive SOF2
+        parse_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError, match="16-bit quantization"):
+        i = good.index(b"\xff\xdb") + 4
+        parse_jpeg(good[:i] + bytes([good[i] | 0x10]) + good[i + 1:])
+    with pytest.raises(ValueError, match="truncated|unexpected marker"):
+        parse_jpeg(good[:len(good) // 2])
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg(np.zeros((8, 16), np.uint8), channels=2)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 24), np.uint8), channels=3,
+                    subsampling="422")
+
+
+def test_jpeg_through_multimodal_registry(spark):
+    """End-to-end: a REAL JPEG payload decodes on executors through
+    extract_features, and resize_media transcodes it to raw samples whose
+    bytes match resizing the original pixels."""
+    from wotan_spark.codecs.jpeg import encode_jpeg
+    from wotan_spark.spark.multimodal import MEDIA_SCHEMA
+    g = np.add.outer(np.arange(16) * 5, np.arange(16) * 7) \
+        .astype(np.uint8)
+    row = [("jpg_000001", "image", "jpeg", 16, 16, None, None,
+            bytearray(encode_jpeg(g, channels=1, quality=95)))]
+    media = spark.createDataFrame(row, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0].features is not None
+    out = resize_media(media, out_w=8, out_h=8).collect()[0]
+    assert out.codec == "raw" and (out.width, out.height) == (8, 8)
+    assert len(bytes(out.payload)) == 64

@@ -3,12 +3,14 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched ``mapInPandas`` passes.  Decoding goes through a codec
-REGISTRY (``register_decoder``) with three dependency-free built-ins —
+REGISTRY (``register_decoder``) with four dependency-free built-ins —
 ``raw`` (bare samples), ``png`` (real zlib+filters decoder,
-``codecs/png.py``) and ``wav`` (real RIFF/PCM decoder,
-``codecs/wavpcm.py``) — and a user plugs further codecs (JPEG, MP3, ...)
-in without editing engine code: each operator snapshots the registry into
-its closure, so registered decoders ship to executors with the plan.
+``codecs/png.py``), ``jpeg`` (real baseline-DCT decoder,
+``codecs/jpeg.py``) and ``wav`` (real RIFF/PCM decoder,
+``codecs/wavpcm.py``) — and a user plugs further codecs (MP3, video,
+...) in without editing engine code: each operator snapshots the
+registry into its closure, so registered decoders ship to executors with
+the plan.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
+from wotan_spark.codecs.jpeg import decode_jpeg
 from wotan_spark.codecs.png import decode_png, encode_png
 from wotan_spark.codecs.wavpcm import decode_wav, encode_wav
 
@@ -97,10 +100,11 @@ def _decode_raw(payload: bytes) -> np.ndarray:
 
 
 # codec name -> callable(payload: bytes) -> flat uint8 sample array.
-# Three dependency-free built-ins ship: ``raw`` plus REAL ``png``
-# (zlib+filters) and ``wav`` (RIFF/PCM) decoders from wotan_spark.codecs.
-# Further codecs (JPEG, MP3, video containers) plug in via
-# register_decoder WITHOUT editing engine code.  Every operator snapshots
+# Four dependency-free built-ins ship: ``raw`` plus REAL ``png``
+# (zlib+filters), ``jpeg`` (baseline sequential DCT) and ``wav``
+# (RIFF/PCM) decoders from wotan_spark.codecs.  Further codecs (MP3,
+# video containers, progressive JPEG) plug in via register_decoder
+# WITHOUT editing engine code.  Every operator snapshots
 # the registry into its mapInPandas closure at plan-build time, which is
 # what ships decoders to executors — so a decoder must be
 # cloudpickle-able (no live handles; functions from a module ship by
@@ -108,15 +112,16 @@ def _decode_raw(payload: bytes) -> np.ndarray:
 # --py-files, while nested/interactive functions ship by value), and a
 # driver-side mutation after a plan is built does not retroactively change
 # that query.
-_BUILTIN_CODECS = frozenset({"raw", "png", "wav"})
+_BUILTIN_CODECS = frozenset({"raw", "png", "jpeg", "wav"})
 _DECODERS: dict = {"raw": _decode_raw, "png": decode_png,
-                   "wav": decode_wav}
+                   "jpeg": decode_jpeg, "wav": decode_wav}
 
 
 def register_decoder(codec: str, fn) -> None:
     """Register a payload decoder for ``codec`` (e.g. a PIL/soundfile
     wrapper returning a flat uint8 array).  Queries built AFTER
-    registration use it; the ``raw``/``png``/``wav`` built-ins stay the
+    registration use it; the ``raw``/``png``/``jpeg``/``wav`` built-ins
+    stay the
     dependency-free paths."""
     if not callable(fn):
         raise TypeError(f"decoder for {codec!r} must be callable")
