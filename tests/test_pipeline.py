@@ -708,3 +708,61 @@ def test_file_stats_poisoned_by_statless_row_group(spark, tmp_path):
     cols = stats["part-0.parquet"]["columns"]
     assert "k" in cols and cols["k"] == [1, 4]
     assert "v" not in cols      # poisoned, not partial
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
+    """compact(cluster_by=[x, y]) Z-orders: narrow probes on EITHER
+    dimension prune a majority of files — where single-column clustering
+    by x leaves a y probe scanning everything — and the data survives as
+    an identical multiset."""
+    import pyspark.sql.functions as F
+    from wotan_spark.spark.lakehouse import SnapshotTable
+
+    # two independent dimensions (row-major grid: x varies slowly, y
+    # fast, so naive insertion order clusters x but scatters nothing)
+    rows = [(x, y, float(x * 1000 + y))
+            for x in range(80) for y in range(80)]
+    df = spark.createDataFrame(rows, "x int, y int, v double")
+
+    tz = SnapshotTable(str(tmp_path / "tz"))
+    tz.append(df.repartition(8))
+    sid = tz.compact(spark, target_file_rows=400, cluster_by=["x", "y"])
+    assert tz._manifest(sid)["meta"]["clustered_by"] == "x,y"
+    assert tz._manifest(sid)["meta"]["zorder"] is True
+    assert tz.read(spark).count() == 6400
+    assert tz.read(spark).agg(F.sum("v")).collect()[0][0] == \
+        sum(r[2] for r in rows)
+
+    tx = SnapshotTable(str(tmp_path / "tx"))
+    tx.append(df.repartition(8))
+    tx.compact(spark, target_file_rows=400, cluster_by="x")
+
+    # both probes prune on the z-ordered table.  A 10/80-wide slab over
+    # a ~4x4 z-tiling must read a full tile column (~25%) plus boundary
+    # tiles, so the bound is >=50% pruned with an absolute floor — the
+    # contrast case below prunes ZERO
+    for col in ("x", "y"):
+        got = tz.read(spark, where=(col, 10, 19))
+        assert got.count() == 10 * 80
+        assert tz.last_scan["files_pruned"] >= tz.last_scan["files_read"], \
+            (col, tz.last_scan)
+        assert tz.last_scan["files_pruned"] >= 6, (col, tz.last_scan)
+    # the x-clustered table prunes on x but cannot prune on y
+    tx.read(spark, where=("y", 10, 19))
+    assert tx.last_scan["files_pruned"] == 0
+    # single-element list degrades to plain range clustering (no z meta)
+    t1 = SnapshotTable(str(tmp_path / "t1"))
+    t1.append(df.repartition(4))
+    s1 = t1.compact(spark, target_file_rows=1600, cluster_by=["x"])
+    assert "zorder" not in t1._manifest(s1)["meta"]
+
+
+def test_zorder_rejects_string_and_unknown_columns(spark, tmp_path):
+    import pytest as _pytest
+    from wotan_spark.spark.lakehouse import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "x int, s string"))
+    with _pytest.raises(ValueError, match="only numeric"):
+        t.compact(spark, cluster_by=["x", "s"])
+    with _pytest.raises(ValueError, match="not in table"):
+        t.compact(spark, cluster_by=["x", "nope"])

@@ -617,16 +617,76 @@ class SnapshotTable:
         manifests.append(self._write_manifest([new_dir]))
         return self._commit(manifests, meta, head)
 
+    def _zorder_column(self, df: DataFrame, cols: list[str],
+                       bits: int = 8) -> "Column":
+        """Z-value (Morton code) over 2+ numeric columns, fully JVM-side:
+        each column is quantized to ``bits`` equal-width buckets between
+        its observed min and max (one agg, driver-side scalars — the
+        Delta/Iceberg Z-order model with width buckets standing in for
+        range ids), then the bucket bits are interleaved so per-file
+        min/max stats stay tight on EVERY clustered dimension at once.
+        Equal-width is skew-sensitive where equal-depth range ids are
+        not — acceptable for FILE-level pruning, and it keeps the whole
+        computation one scan + scalar broadcast with no sampling pass."""
+        numeric = {"int", "bigint", "smallint", "tinyint", "float",
+                   "double", "decimal", "date", "timestamp",
+                   "timestamp_ntz"}
+        dtypes = dict(df.dtypes)
+
+        def _as_double(c: str) -> "Column":
+            # date -> double casts to NULL in Spark; route via timestamp
+            if dtypes[c] == "date":
+                return F.col(c).cast("timestamp").cast("double")
+            return F.col(c).cast("double")
+
+        for c in cols:
+            dt = dtypes.get(c)
+            if dt is None:
+                raise ValueError(f"z-order column {c!r} not in table")
+            if dt.split("(")[0] not in numeric:
+                raise ValueError(
+                    f"z-order column {c!r} has type {dt}: only numeric/"
+                    "date/timestamp columns quantize meaningfully (hash a "
+                    "string column into a numeric one first)")
+        stats = df.agg(*[f(_as_double(c)).alias(f"{which}_{c}")
+                         for c in cols
+                         for which, f in (("min", F.min), ("max", F.max))]
+                       ).collect()[0]
+        n_buckets = 1 << bits
+        z = F.lit(0).cast("long")
+        for ci, c in enumerate(cols):
+            lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+            if lo is None or hi is None or hi <= lo:
+                continue             # constant/all-NULL dim carries 0 bits
+            v = _as_double(c)
+            bucket = F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v - F.lit(float(lo)))
+                        / F.lit((float(hi) - float(lo)) / n_buckets))
+            ).cast("long")
+            bucket = F.coalesce(bucket, F.lit(0).cast("long"))  # NULLs low
+            for b in range(bits):
+                # bit b of this dim lands at interleaved position
+                # b * ncols + ci (dims round-robin from the LSB up)
+                src, dst = b, b * len(cols) + ci
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(bucket, src).bitwiseAND(F.lit(1)), dst))
+        return z
+
     def compact(self, spark: SparkSession, target_file_rows: int = 1_000_000,
-                cluster_by: str | None = None, **meta) -> int:
+                cluster_by: str | list[str] | None = None, **meta) -> int:
         """Maintenance rewrite (the Iceberg ``rewrite_data_files`` model):
         bin-pack the current snapshot's many small files into
-        ``ceil(rows / target_file_rows)`` files, optionally RANGE-CLUSTERING
-        on a column first (``repartitionByRange`` + in-file sort) so the
-        per-file min/max stats become disjoint and ``read(where=...)``
-        prunes to O(1) files per range probe.  Data is byte-identical as a
-        multiset; history keeps the fragmented snapshot time-travelable
-        until ``expire_snapshots``.
+        ``ceil(rows / target_file_rows)`` files, optionally CLUSTERING
+        first so the per-file min/max stats become disjoint and
+        ``read(where=...)`` prunes to O(1) files per probe.  A single
+        ``cluster_by`` column range-clusters (``repartitionByRange`` +
+        in-file sort); a LIST of columns Z-ORDERS (Morton-interleaved
+        quantized buckets, ``_zorder_column``) so probes on ANY of the
+        listed dimensions prune files — the Delta ``OPTIMIZE ZORDER BY`` /
+        Iceberg ``rewrite_data_files(strategy=>'sort')`` model.  Data is
+        byte-identical as a multiset; history keeps the fragmented
+        snapshot time-travelable until ``expire_snapshots``.
 
         At 100 TB this is the operator that keeps streaming/incremental
         tables healthy: every AvailableNow merge and late-data upsert adds
@@ -642,8 +702,18 @@ class SnapshotTable:
             raise ValueError("nothing to compact")
         n_rows = cur.count()
         n_files = max(1, -(-n_rows // target_file_rows))
-        if cluster_by is not None:
-            from pyspark.sql import functions as F
+        zorder = isinstance(cluster_by, (list, tuple))
+        if zorder and len(cluster_by) == 1:
+            cluster_by, zorder = cluster_by[0], False
+        if zorder:
+            if not cluster_by:
+                raise ValueError("cluster_by list must name >= 1 column")
+            zcol = self._zorder_column(cur, list(cluster_by))
+            packed = (cur.withColumn("__z", zcol)
+                      .repartitionByRange(n_files, F.col("__z"))
+                      .sortWithinPartitions("__z")
+                      .drop("__z"))
+        elif cluster_by is not None:
             packed = (cur.repartitionByRange(n_files, F.col(cluster_by))
                       .sortWithinPartitions(cluster_by))
         else:
@@ -651,7 +721,10 @@ class SnapshotTable:
         meta.setdefault("compaction", True)
         if cluster_by is None:
             return self.overwrite(packed, **meta)
-        meta.setdefault("clustered_by", cluster_by)
+        meta.setdefault("clustered_by", ",".join(cluster_by) if zorder
+                        else cluster_by)
+        if zorder:
+            meta.setdefault("zorder", True)
         # commit range-clustered output as ONE DIR PER FILE: manifest
         # entries are dir-granular, so a single monolithic dir would be
         # marked affected by ANY overlapping merge_buckets and the whole
