@@ -228,3 +228,29 @@ def test_search_prunes_non_probed_cells_at_file_level(spark, tmp_path):
     assert scan["files_pruned"] > 0, scan
     assert scan["files_read"] < scan["files_read"] + scan["files_pruned"]
     assert scan["files_read"] <= scan["files_pruned"], scan
+
+
+def test_maintain_restores_posting_list_locality(spark, tmp_path):
+    """After a stack of incremental appends, maintain() re-clusters the
+    code table by centroid_id: identical search results, fewer data
+    files, and the where_in posting-list pruning still skips non-probed
+    cells."""
+    emb = _emb(spark)
+    idx = AnnIndex(str(tmp_path / "ann"), n_centroids=16)
+    idx.build(spark, emb.filter("vec_id % 4 = 0"))
+    for k in (1, 2, 3):
+        idx.update_incremental(spark, emb.filter(f"vec_id % 4 = {k}"),
+                               run_id=f"u{k}")
+    before_files = len(idx.codes.data_files())
+    before = _topk_set(idx.search(spark, emb, [0, 1], k=3,
+                                  nprobe=2, rerank=32).collect())
+    idx.maintain(spark, target_file_rows=200)
+    assert len(idx.codes.data_files()) < before_files
+    after = _topk_set(idx.search(spark, emb, [0, 1], k=3,
+                                 nprobe=2, rerank=32).collect())
+    assert after == before
+    scan = idx.codes.last_scan
+    assert scan["files_pruned"] > 0, scan
+    # maintenance does not change the model generation: updates still land
+    rec = idx.codes.find_snapshot(op="maintain")
+    assert rec is not None and rec["meta"].get("compaction") is True

@@ -234,6 +234,23 @@ class AnnIndex:
             delta.unpersist()
         return {"codes_snapshot": sid, "new_rows": fp["delta_fp_rows"]}
 
+    def maintain(self, spark: SparkSession,
+                 target_file_rows: int = 1_000_000, **meta) -> int:
+        """Restore posting-list locality: every ``update_incremental``
+        appends its own (internally clustered) small dir, so the file
+        count — and with it ``search``'s footer/stats overhead — grows
+        with ingest batches.  Re-cluster the whole code table by
+        ``centroid_id`` into bin-packed files; searches before and after
+        return identical results (compaction is a multiset-identical
+        rewrite) and the where_in pruning gets one tight file range per
+        cell again.  A plain ``codes.compact()`` (no cluster_by) would
+        KEEP correctness but mix cells per file and destroy pruning —
+        this wrapper exists so maintenance can't reach for it by
+        accident."""
+        meta.setdefault("op", "maintain")
+        return self.codes.compact(spark, target_file_rows=target_file_rows,
+                                  cluster_by="centroid_id", **meta)
+
     def _delta_fingerprint(self, delta: DataFrame) -> dict:
         return delta_fingerprint(delta)
 
