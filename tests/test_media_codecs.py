@@ -393,3 +393,35 @@ def test_jpeg_through_multimodal_registry(spark):
     out = resize_media(media, out_w=8, out_h=8).collect()[0]
     assert out.codec == "raw" and (out.width, out.height) == (8, 8)
     assert len(bytes(out.payload)) == 64
+
+
+def test_jpeg_property_roundtrip_bounded_error():
+    """Property round-trip over random sizes / channels / quality /
+    subsampling / restart intervals: dimensions and channels always
+    survive exactly, and on a SMOOTH image (JPEG's design domain) the
+    per-pixel error stays bounded at high quality."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from wotan_spark.codecs.jpeg import encode_jpeg, parse_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 33), st.integers(1, 33),
+           st.sampled_from([1, 3]), st.sampled_from(["444", "420"]),
+           st.integers(0, 3), st.integers(0, 10_000))
+    def run(h, w, channels, sub, rst, seed):
+        rng = np.random.default_rng(seed)
+        base = (np.add.outer(np.arange(h) * rng.integers(1, 4),
+                             np.arange(w) * rng.integers(1, 4))
+                + rng.integers(0, 64)) % 200
+        px = np.repeat(base[:, :, None], channels, axis=2) \
+            .reshape(h, w * channels).astype(np.uint8)
+        enc = encode_jpeg(px, channels=channels, quality=95,
+                          subsampling=sub, restart_interval=rst)
+        got, gw, gh, gc = parse_jpeg(enc)
+        assert (gw, gh, gc) == (w, h, channels)
+        err = np.abs(got.astype(int) - px.astype(int)).max()
+        # gray content: chroma planes are flat, so 4:2:0 loses nothing
+        # beyond DCT rounding; smooth ramps stay within a few levels
+        assert err <= 6, (h, w, channels, sub, rst, err)
+
+    run()
