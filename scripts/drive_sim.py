@@ -40,6 +40,18 @@ def main() -> int:
     from pyspark.sql import SparkSession
     from wotan_spark.oracle_compare import compare, register_views
 
+    # validate --only BEFORE the expensive steps: queries() needs only the
+    # module import, while SparkSession startup + the entry() count can
+    # take minutes at larger scale factors — a typo should fail instantly
+    q, o = m.queries(), m.oracle_sql()
+    names = list(q) if args.all else list(q)[:m.DRIVER_QUERY_CAP]
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in q]
+        if unknown:
+            ap.error(f"--only names not in the contract: {unknown} "
+                     f"(see queries() in {REPO}/__spark_entry__.py)")
+
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
@@ -51,15 +63,6 @@ def main() -> int:
 
     n_entry = m.entry(spark).count()
     print(f"entry(): {n_entry} rows", flush=True)
-
-    q, o = m.queries(), m.oracle_sql()
-    names = list(q) if args.all else list(q)[:m.DRIVER_QUERY_CAP]
-    if args.only:
-        names = [n.strip() for n in args.only.split(",") if n.strip()]
-        unknown = [n for n in names if n not in q]
-        if unknown:
-            ap.error(f"--only names not in the contract: {unknown} "
-                     f"(see queries() in {REPO}/__spark_entry__.py)")
     failed = []
     for i, name in enumerate(names, 1):
         t0 = time.time()

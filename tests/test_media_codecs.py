@@ -425,3 +425,49 @@ def test_jpeg_property_roundtrip_bounded_error():
         assert err <= 6, (h, w, channels, sub, rst, err)
 
     run()
+
+
+def test_jpeg_review_fixes_spec_conformance():
+    """Round-5e review findings: pad bits are 1s (B.1.1.5), 0xFF fill
+    bytes before markers are legal (B.1.1.2), a grayscale SOF declaring
+    2x2 sampling decodes over the component's own 8px block grid
+    (A.2.2), and a scan covering fewer components than the frame raises
+    instead of silently returning a partial decode."""
+    import struct as _struct
+    from wotan_spark.codecs.jpeg import (_BitWriter, encode_jpeg,
+                                         parse_jpeg)
+
+    # pad-with-1s: one 0 bit flushes to 0b01111111
+    wtr = _BitWriter()
+    wtr.put(0, 1)
+    wtr.flush()
+    assert bytes(wtr.out) == b"\x7f", bytes(wtr.out)
+
+    g = np.add.outer(np.arange(12) * 5, np.arange(18) * 3) \
+        .astype(np.uint8)
+    good = encode_jpeg(g, channels=1, quality=95)
+    want, w, h, c = parse_jpeg(good)
+
+    # 0xFF fill bytes before a marker are tolerated
+    filled = good.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    got, gw, gh, gc = parse_jpeg(filled)
+    assert (gw, gh, gc) == (w, h, c)
+    np.testing.assert_array_equal(got, want)
+
+    # grayscale SOF declaring 2x2 sampling: single-component scans are
+    # non-interleaved, so the block layout is identical to 1x1
+    i = good.index(b"\xff\xc0")
+    assert good[i + 11] == 0x11
+    patched = good[:i + 11] + b"\x22" + good[i + 12:]
+    got, gw, gh, gc = parse_jpeg(patched)
+    assert (gw, gh, gc) == (w, h, c)
+    np.testing.assert_array_equal(got, want)
+
+    # a 3-component frame whose scan lists one component must raise
+    rgb = np.zeros((8, 24), np.uint8)
+    cgood = encode_jpeg(rgb, channels=3, quality=90)
+    j = cgood.index(b"\xff\xda")
+    sos1 = b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0])
+    partial = cgood[:j] + sos1 + cgood[j + 14:]
+    with pytest.raises(ValueError, match="multi-scan"):
+        parse_jpeg(partial)

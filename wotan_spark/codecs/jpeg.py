@@ -129,14 +129,9 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict:
 
 def _encode_codes(bits: list[int], values: list[int]) -> dict:
     """symbol -> (code, length), the encoder-side view of the same table."""
-    out, code, vi = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[values[vi]] = (code, length)
-            code += 1
-            vi += 1
-        code <<= 1
-    return out
+    return {sym: (code, length)
+            for (length, code), sym in _canonical_codes(bits,
+                                                        values).items()}
 
 
 class _BitWriter:
@@ -158,7 +153,8 @@ class _BitWriter:
 
     def flush(self) -> None:
         if self.nbits:
-            self.put(0x7F, 7 - ((self.nbits - 1) % 8) + 1)  # pad with 1s
+            pad = 8 - self.nbits             # pad with 1-bits (B.1.1.5)
+            self.put((1 << pad) - 1, pad)
         self.acc = self.nbits = 0
 
 
@@ -253,6 +249,9 @@ def parse_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at offset {pos}")
+        # any number of 0xFF fill bytes may precede a marker (B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                    # EOI before SOS
@@ -303,6 +302,13 @@ def parse_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # returning after the first scan would silently present a
+                # partial decode (e.g. just the Y plane) as the image
+                raise ValueError(
+                    f"JPEG: scan covers {ns} of {len(frame['comps'])} "
+                    "components — multi-scan (non-interleaved) baseline "
+                    "files are unsupported by the built-in decoder")
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
@@ -325,7 +331,11 @@ def _decode_scan(buf: bytes, pos: int, frame: dict, scan: list,
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     if len(scan) == 1:
-        hmax, vmax = scan[0][0]["h"], scan[0][0]["v"]
+        # single-component frame: non-interleaved layout — one block per
+        # MCU over the component's own 8px block grid (A.2.2); declared
+        # sampling factors are ratios against hmax and collapse to 1x1
+        scan = [({**scan[0][0], "h": 1, "v": 1}, scan[0][1], scan[0][2])]
+        hmax = vmax = 1
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = []

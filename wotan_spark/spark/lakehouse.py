@@ -618,7 +618,7 @@ class SnapshotTable:
         return self._commit(manifests, meta, head)
 
     def _zorder_column(self, df: DataFrame, cols: list[str],
-                       bits: int = 8) -> "Column":
+                       bits: int = 8) -> tuple["Column", int]:
         """Z-value (Morton code) over 2+ numeric columns, fully JVM-side:
         each column is quantized to ``bits`` equal-width buckets between
         its observed min and max (one agg, driver-side scalars — the
@@ -627,7 +627,9 @@ class SnapshotTable:
         min/max stats stay tight on EVERY clustered dimension at once.
         Equal-width is skew-sensitive where equal-depth range ids are
         not — acceptable for FILE-level pruning, and it keeps the whole
-        computation one scan + scalar broadcast with no sampling pass."""
+        computation one scan + scalar broadcast with no sampling pass.
+        Returns ``(z_column, row_count)`` — the count rides the same agg
+        so compact() pays one metadata pass, not two."""
         numeric = {"int", "bigint", "smallint", "tinyint", "float",
                    "double", "decimal", "date", "timestamp",
                    "timestamp_ntz"}
@@ -648,7 +650,8 @@ class SnapshotTable:
                     f"z-order column {c!r} has type {dt}: only numeric/"
                     "date/timestamp columns quantize meaningfully (hash a "
                     "string column into a numeric one first)")
-        stats = df.agg(*[f(_as_double(c)).alias(f"{which}_{c}")
+        stats = df.agg(F.count(F.lit(1)).alias("__n"),
+                       *[f(_as_double(c)).alias(f"{which}_{c}")
                          for c in cols
                          for which, f in (("min", F.min), ("max", F.max))]
                        ).collect()[0]
@@ -671,7 +674,7 @@ class SnapshotTable:
                 src, dst = b, b * len(cols) + ci
                 z = z.bitwiseOR(F.shiftleft(
                     F.shiftright(bucket, src).bitwiseAND(F.lit(1)), dst))
-        return z
+        return z, int(stats["__n"])
 
     def compact(self, spark: SparkSession, target_file_rows: int = 1_000_000,
                 cluster_by: str | list[str] | None = None, **meta) -> int:
@@ -700,24 +703,32 @@ class SnapshotTable:
         cur = self.read(spark, merge_schema=True)
         if cur is None:
             raise ValueError("nothing to compact")
-        n_rows = cur.count()
-        n_files = max(1, -(-n_rows // target_file_rows))
         zorder = isinstance(cluster_by, (list, tuple))
         if zorder and len(cluster_by) == 1:
             cluster_by, zorder = cluster_by[0], False
         if zorder:
             if not cluster_by:
                 raise ValueError("cluster_by list must name >= 1 column")
-            zcol = self._zorder_column(cur, list(cluster_by))
-            packed = (cur.withColumn("__z", zcol)
-                      .repartitionByRange(n_files, F.col("__z"))
-                      .sortWithinPartitions("__z")
-                      .drop("__z"))
-        elif cluster_by is not None:
-            packed = (cur.repartitionByRange(n_files, F.col(cluster_by))
-                      .sortWithinPartitions(cluster_by))
+            # the z stats agg carries the row count, so the zorder path
+            # pays ONE metadata scan, not a count pass plus a stats pass
+            zcol, n_rows = self._zorder_column(cur, list(cluster_by))
+            n_files = max(1, -(-n_rows // target_file_rows))
+            # uuid-suffixed scratch name: a user column literally named
+            # __z must survive the "multiset-identical rewrite" promise
+            zname = f"__z_{uuid.uuid4().hex[:8]}"
+            packed = (cur.withColumn(zname, zcol)
+                      .repartitionByRange(n_files, F.col(zname))
+                      .sortWithinPartitions(zname)
+                      .drop(zname))
         else:
-            packed = cur.coalesce(n_files)
+            n_rows = cur.count()
+            n_files = max(1, -(-n_rows // target_file_rows))
+            if cluster_by is not None:
+                packed = (cur.repartitionByRange(n_files,
+                                                 F.col(cluster_by))
+                          .sortWithinPartitions(cluster_by))
+            else:
+                packed = cur.coalesce(n_files)
         meta.setdefault("compaction", True)
         if cluster_by is None:
             return self.overwrite(packed, **meta)
