@@ -427,13 +427,15 @@ class Pipeline:
                            "distinct10", "distinct100", "topk10",
                            "topk100"),
                        target_file_rows: int = 1_000_000,
-                       cluster_by: str | None = "bucket",
+                       cluster_by: str | list[str] | None = "bucket",
                        run_id: str | None = None) -> dict:
         """Maintenance compaction across tier tables (Iceberg
         rewrite_data_files model): bin-pack the small-file generations left
         by streaming merges and incremental upserts, range-clustering on
         the bucket column so retention scans and range probes prune whole
-        files.  Emits a lineage row per rewritten file like any stage."""
+        files (a LIST of columns forwards to compact()'s Z-order path for
+        tables probed on two dimensions).  Emits a lineage row per
+        rewritten file like any stage."""
         run_id = run_id or f"compact-{int(time.time())}"
         report: dict[str, dict] = {}
         for name in tables:
