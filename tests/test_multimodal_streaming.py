@@ -56,6 +56,10 @@ def test_resize_media_images_only(spark):
 def test_unknown_codec_raises(spark):
     from wotan_spark.spark.multimodal import _decode_payload
     with pytest.raises(NotImplementedError):
+        _decode_payload("mp3", b"ID3\x04")
+    # jpeg graduated from this test's example to a real built-in
+    # (round 5e): a garbage payload now fails in the DECODER, loudly
+    with pytest.raises(ValueError, match="JPEG"):
         _decode_payload("jpeg", b"\xff\xd8")
 
 
