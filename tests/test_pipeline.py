@@ -747,6 +747,11 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
         assert tz.last_scan["files_pruned"] >= tz.last_scan["files_read"], \
             (col, tz.last_scan)
         assert tz.last_scan["files_pruned"] >= 6, (col, tz.last_scan)
+    # conjunctive 2-D probe: the tile INTERSECTION — prunes strictly
+    # more than either slab alone, and the residual is the AND
+    both = tz.read(spark, where=[("x", 10, 19), ("y", 10, 19)])
+    assert both.count() == 10 * 10
+    assert tz.last_scan["files_read"] <= 4, tz.last_scan
     # the x-clustered table prunes on x but cannot prune on y
     tx.read(spark, where=("y", 10, 19))
     assert tx.last_scan["files_pruned"] == 0

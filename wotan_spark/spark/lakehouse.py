@@ -789,15 +789,18 @@ class SnapshotTable:
         """Read a snapshot.  ``where=(col, lo, hi)`` prunes whole data files
         whose manifest min/max stats cannot overlap [lo, hi] — the Iceberg
         scan-pruning model — and applies the residual filter (so results are
-        exact even where stats were absent).  ``where_in=(col, values)`` is
-        the set-membership variant: a file is pruned when NO value can fall
-        inside its stats range — the posting-list access pattern (an IVF
-        probe reads a scattered set of cells, not one range, so a [min,max]
-        envelope over the set would prune nothing once probes span the key
-        space).  ``merge_schema=True`` unions the file schemas
-        (schema-evolution reads: columns appended by later commits come
-        back NULL for older files).  ``ref`` reads a named tag/branch
-        instead of HEAD."""
+        exact even where stats were absent).  A LIST of such triples is a
+        CONJUNCTION: a file is pruned when ANY clause is provably disjoint
+        — on a Z-ordered table (``compact(cluster_by=[x, y])``) a 2-D
+        probe then prunes on both dimensions at once, which is the point
+        of Z-ordering.  ``where_in=(col, values)`` is the set-membership
+        variant: a file is pruned when NO value can fall inside its stats
+        range — the posting-list access pattern (an IVF probe reads a
+        scattered set of cells, not one range, so a [min,max] envelope
+        over the set would prune nothing once probes span the key space).
+        ``merge_schema=True`` unions the file schemas (schema-evolution
+        reads: columns appended by later commits come back NULL for older
+        files).  ``ref`` reads a named tag/branch instead of HEAD."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
@@ -816,16 +819,22 @@ class SnapshotTable:
             return reader.parquet(*dirs)
         if where is not None and where_in is not None:
             raise ValueError("pass where or where_in, not both")
+        vals: list = []
         if where is not None:
-            col, lo, hi = where
+            clauses = ([tuple(where)] if isinstance(where[0], str)
+                       else [tuple(cl) for cl in where])
+            for cl in clauses:
+                if len(cl) != 3 or not isinstance(cl[0], str):
+                    raise ValueError(f"where clause must be "
+                                     f"(col, lo, hi), got {cl!r}")
         else:
-            col, values = where_in
+            col_in, values = where_in
             vals = sorted(set(values))
             if not vals:
                 raise ValueError("where_in needs at least one value")
-            lo, hi = None, None          # unused on this path
+            clauses = [(col_in, None, None)]
 
-        def _outside(c) -> bool:
+        def _outside(c, lo, hi) -> bool:
             try:
                 if where is not None:
                     return c[1] < lo or c[0] > hi
@@ -846,8 +855,10 @@ class SnapshotTable:
             for fn in sorted(os.listdir(d)):
                 if not fn.endswith(".parquet"):
                     continue
-                c = (stats or {}).get(fn, {}).get("columns", {}).get(col)
-                if c is not None and _outside(c):
+                cols = (stats or {}).get(fn, {}).get("columns", {})
+                if any(cols.get(col) is not None
+                       and _outside(cols[col], lo, hi)
+                       for col, lo, hi in clauses):
                     pruned += 1
                     continue
                 paths.append(os.path.join(d, fn))
@@ -861,8 +872,12 @@ class SnapshotTable:
             schema = reader.parquet(
                 *(dirs if merge_schema else dirs[:1])).schema
             return spark.createDataFrame([], schema)
-        residual = (F.col(col).between(lo, hi) if where is not None
-                    else F.col(col).isin(vals))
+        if where is not None:
+            residual = F.lit(True)
+            for col, lo, hi in clauses:
+                residual = residual & F.col(col).between(lo, hi)
+        else:
+            residual = F.col(clauses[0][0]).isin(vals)
         return reader.parquet(*paths).filter(residual)
 
     def read_incremental(self, spark: SparkSession, since_snapshot_id: int,
