@@ -239,3 +239,35 @@ def test_where_in_set_pruning(spark, tmp_path):
         t.read(spark, where=("id", 0, 1), where_in=("id", [2]))
     with pytest.raises(ValueError, match="at least one"):
         t.read(spark, where_in=("id", []))
+
+
+def test_where_in_and_zorder_edge_cases(spark, tmp_path):
+    """Edges of the round-5e pruning additions: stringly stats make a
+    file unprunable but results stay exact (TypeError guard); a constant
+    dimension contributes zero z-bits without breaking the rewrite; a
+    conjunction clause naming a column with no stats keeps the file."""
+    import pyspark.sql.functions as F
+
+    # string-typed column: stats exist but where_in values are ints ->
+    # incomparable -> file kept, residual isin still exact
+    t = SnapshotTable(str(tmp_path / "ts"))
+    t.append(spark.createDataFrame(
+        [(f"k{i:02d}", i) for i in range(20)], "k string, v int"))
+    got = t.read(spark, where_in=("k", ["k03", "k17"]))
+    assert {r.k for r in got.collect()} == {"k03", "k17"}
+    # int values against string stats: kept (cannot prove disjoint)
+    got = t.read(spark, where_in=("v", [3, 17]))
+    assert {r.v for r in got.collect()} == {3, 17}
+
+    # constant dimension in a z-order: carries zero bits, rewrite exact
+    tz = SnapshotTable(str(tmp_path / "tz"))
+    rows = [(x, 7, float(x)) for x in range(400)]
+    tz.append(spark.createDataFrame(rows, "x int, c int, v double"))
+    tz.compact(spark, target_file_rows=100, cluster_by=["x", "c"])
+    assert tz.read(spark).count() == 400
+    # x still prunes (it got all the bits)
+    tz.read(spark, where=("x", 0, 49))
+    assert tz.last_scan["files_pruned"] > 0
+    # conjunction with an absent-stats column: file kept, result exact
+    got = tz.read(spark, where=[("x", 0, 49), ("c", 7, 7)])
+    assert got.count() == 50
