@@ -471,3 +471,43 @@ def test_jpeg_review_fixes_spec_conformance():
     partial = cgood[:j] + sos1 + cgood[j + 14:]
     with pytest.raises(ValueError, match="multi-scan"):
         parse_jpeg(partial)
+
+
+def test_jpeg_decoder_interop_vs_spark_image_source(spark):
+    """INDEPENDENT-decoder cross-validation: Spark's image data source
+    decodes via Java ImageIO; our pure-Python decoder must agree
+    near-pixel-exactly on Spark's own bundled real-world JPEGs (libjpeg
+    4:2:0 color photos — sampling, Huffman, IDCT and upsampling all
+    exercised by files we did not produce).  The bundled progressive
+    file raises the documented loud error."""
+    import glob
+    import os
+    from wotan_spark.codecs.jpeg import parse_jpeg
+
+    root = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens"
+    if not os.path.isdir(root):
+        pytest.skip("Spark example images not present")
+    rows = (spark.read.format("image").load(root)
+            .select("image.origin", "image.width", "image.height",
+                    "image.nChannels", "image.data").collect())
+    checked = 0
+    for r in rows:
+        path = r.origin.replace("file:", "")
+        if not path.endswith(".jpg"):
+            continue
+        ours, w, h, c = parse_jpeg(open(path, "rb").read())
+        assert (w, h, c) == (r.width, r.height, r.nChannels), path
+        ref = np.frombuffer(bytes(r.data), dtype=np.uint8) \
+            .reshape(r.height, r.width, r.nChannels)[:, :, ::-1]  # BGR
+        diff = np.abs(ours.reshape(h, w, c).astype(int)
+                      - ref.astype(int))
+        assert diff.mean() <= 1.0, (path, diff.mean())
+        assert np.percentile(diff, 99) <= 4, (path, np.percentile(diff, 99))
+        checked += 1
+    assert checked >= 3, "expected several bundled JPEGs"
+
+    prog = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+            "multi-channel/grayscale.jpg")
+    if os.path.exists(prog):
+        with pytest.raises(ValueError, match="SOF marker"):
+            parse_jpeg(open(prog, "rb").read())
