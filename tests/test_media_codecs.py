@@ -511,3 +511,53 @@ def test_jpeg_decoder_interop_vs_spark_image_source(spark):
     if os.path.exists(prog):
         with pytest.raises(ValueError, match="SOF marker"):
             parse_jpeg(open(prog, "rb").read())
+
+
+def test_png_decoder_interop_vs_spark_image_source(spark, tmp_path):
+    """INDEPENDENT-decoder cross-validation for PNG: bit-EXACT agreement
+    with Java ImageIO (via Spark's image source) on real-world system
+    PNGs we did not produce — RGBA icons and 1-channel masks covering
+    the filter mix real encoders emit.  PNG is lossless, so the bar is
+    maxdiff == 0, not a tolerance."""
+    import glob
+    import os
+    import shutil
+    from wotan_spark.codecs.png import parse_png
+
+    candidates = [p for pat in
+                  ("/usr/share/doc/python3/_static/*.png",
+                   "/usr/share/doc/libxslt1-dev/html/html/*.png")
+                  for p in glob.glob(pat)]
+    usable = []
+    for p in candidates:
+        try:
+            parse_png(open(p, "rb").read())
+            usable.append(p)
+        except ValueError:
+            pass            # palette / low-bit-depth: documented loud skip
+    if len(usable) < 3:
+        pytest.skip("no suitable system PNGs present")
+    d = tmp_path / "pngs"
+    os.makedirs(d)
+    for p in usable:
+        shutil.copy(p, d)
+    rows = (spark.read.format("image").load(str(d))
+            .select("image.origin", "image.width", "image.height",
+                    "image.nChannels", "image.data").collect())
+    checked = 0
+    for r in rows:
+        path = r.origin.replace("file:", "")
+        ours, w, h, c = parse_png(open(path, "rb").read())
+        assert (w, h) == (r.width, r.height), path
+        ref = np.frombuffer(bytes(r.data), np.uint8) \
+            .reshape(r.height, r.width, r.nChannels)
+        if r.nChannels == 4 and c == 4:
+            ref_cmp = ref[:, :, [2, 1, 0, 3]]          # BGRA -> RGBA
+        elif r.nChannels == 1 and c == 1:
+            ref_cmp = ref
+        else:
+            continue        # ImageIO channel-promoted; skip that file
+        np.testing.assert_array_equal(
+            ours.reshape(h, w, c), ref_cmp.reshape(h, w, c), err_msg=path)
+        checked += 1
+    assert checked >= 3, "expected several comparable PNGs"
