@@ -410,9 +410,12 @@ def test_jpeg_property_roundtrip_bounded_error():
            st.integers(0, 3), st.integers(0, 10_000))
     def run(h, w, channels, sub, rst, seed):
         rng = np.random.default_rng(seed)
-        base = (np.add.outer(np.arange(h) * rng.integers(1, 4),
-                             np.arange(w) * rng.integers(1, 4))
-                + rng.integers(0, 64)) % 200
+        # genuinely smooth: a plane scaled into [16, 240] — a % wrap
+        # would inject sawtooth step edges whose ringing legitimately
+        # exceeds any tight bound (that is JPEG behaving correctly)
+        base = np.add.outer(np.arange(h) * float(rng.integers(1, 4)),
+                            np.arange(w) * float(rng.integers(1, 4)))
+        base = 16 + base * (224.0 / max(base.max(), 1.0))
         px = np.repeat(base[:, :, None], channels, axis=2) \
             .reshape(h, w * channels).astype(np.uint8)
         enc = encode_jpeg(px, channels=channels, quality=95,
