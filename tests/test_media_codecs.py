@@ -78,12 +78,13 @@ def test_png_rejects_bad_inputs():
     bad = good[:16] + bytes(ihdr) + crc + good[33:]
     with pytest.raises(ValueError, match="bit depth"):
         parse_png(bad)
-    # palette color type
+    # palette color type is SUPPORTED since round 5e — but a palette
+    # image without a PLTE chunk is structurally invalid
     ihdr = bytearray(good[16:16 + 13])
     ihdr[9] = 3
     crc = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)))
     bad = good[:16] + bytes(ihdr) + crc + good[33:]
-    with pytest.raises(ValueError, match="color type"):
+    with pytest.raises(ValueError, match="PLTE"):
         parse_png(bad)
     with pytest.raises(ValueError, match="channels"):
         encode_png(px, channels=5)
@@ -564,3 +565,86 @@ def test_png_decoder_interop_vs_spark_image_source(spark, tmp_path):
             ours.reshape(h, w, c), ref_cmp.reshape(h, w, c), err_msg=path)
         checked += 1
     assert checked >= 3, "expected several comparable PNGs"
+
+
+def _mk_png(width, height, depth, color, plte=b"", trns=b"",
+            pixel_bytes=b""):
+    """Hand-build a minimal PNG: one IDAT, filter 0 on every row."""
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    if trns:
+        out += chunk(b"tRNS", trns)
+    row_bytes = (width * depth + 7) // 8
+    raw = b"".join(b"\x00" + pixel_bytes[y * row_bytes:(y + 1) * row_bytes]
+                   for y in range(height))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_and_low_bit_depths():
+    """Round-5e decoder extension: 1/2/4-bit grayscale scale to full
+    8-bit range exactly; palette images expand through PLTE (RGB) and
+    PLTE+tRNS (RGBA); out-of-range palette indexes raise."""
+    # 1-bit grayscale, 10px wide: bits 1010101010 + row padding
+    pat = np.array([1, 0, 1, 0, 1, 0, 1, 0, 1, 0], dtype=np.uint8)
+    packed = np.packbits(pat).tobytes()
+    px, w, h, c = parse_png(_mk_png(10, 1, 1, 0, pixel_bytes=packed))
+    assert (w, h, c) == (10, 1, 1)
+    np.testing.assert_array_equal(px.reshape(-1), pat * 255)
+    # 2-bit grayscale: values 0..3 -> 0, 85, 170, 255
+    packed = np.packbits(
+        np.unpackbits(np.arange(4, dtype=np.uint8)[:, None], axis=1,
+                      count=8)[:, 6:].reshape(-1)).tobytes()
+    px, w, h, c = parse_png(_mk_png(4, 1, 2, 0, pixel_bytes=packed))
+    np.testing.assert_array_equal(px.reshape(-1), [0, 85, 170, 255])
+    # 8-bit palette + tRNS -> RGBA
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    png = _mk_png(3, 1, 8, 3, plte=plte, trns=bytes([128]),
+                  pixel_bytes=bytes([0, 1, 2]))
+    px, w, h, c = parse_png(png)
+    assert c == 4
+    np.testing.assert_array_equal(
+        px.reshape(3, 4),
+        [[255, 0, 0, 128], [0, 255, 0, 255], [0, 0, 255, 255]])
+    # 4-bit palette, no tRNS -> RGB
+    png = _mk_png(2, 1, 4, 3, plte=plte, pixel_bytes=bytes([0x12]))
+    px, w, h, c = parse_png(png)
+    assert c == 3
+    np.testing.assert_array_equal(px.reshape(2, 3),
+                                  [[0, 255, 0], [0, 0, 255]])
+    # palette index beyond PLTE raises
+    with pytest.raises(ValueError, match="palette index"):
+        parse_png(_mk_png(1, 1, 8, 3, plte=plte, pixel_bytes=bytes([9])))
+
+
+def test_png_palette_interop_vs_spark_image_source(spark, tmp_path):
+    """The gitweb PNGs (8-bit palette logo, 2-bit palette favicon) decode
+    bit-exactly vs Java ImageIO — real palette files we did not make."""
+    import os
+    import shutil
+    from wotan_spark.codecs.png import parse_png as _pp
+
+    srcs = [p for p in ("/usr/share/gitweb/static/git-logo.png",
+                        "/usr/share/gitweb/static/git-favicon.png")
+            if os.path.exists(p)]
+    if not srcs:
+        pytest.skip("gitweb PNGs not present")
+    d = tmp_path / "p"
+    os.makedirs(d)
+    for p in srcs:
+        shutil.copy(p, d)
+    rows = (spark.read.format("image").load(str(d))
+            .select("image.origin", "image.width", "image.height",
+                    "image.nChannels", "image.data").collect())
+    for r in rows:
+        path = r.origin.replace("file:", "")
+        ours, w, h, c = _pp(open(path, "rb").read())
+        assert (w, h, c) == (r.width, r.height, r.nChannels), path
+        ref = np.frombuffer(bytes(r.data), np.uint8) \
+            .reshape(r.height, r.width, r.nChannels)[:, :, ::-1]  # BGR
+        np.testing.assert_array_equal(ours.reshape(h, w, c), ref,
+                                      err_msg=path)

@@ -60,30 +60,50 @@ def parse_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     if not payload.startswith(_SIGNATURE):
         raise ValueError("PNG: bad signature")
     width = height = None
+    depth = 8
+    color = 0
     channels = 0
     idat = bytearray()
+    palette = None
+    trns = None
     for ctype, data in _iter_chunks(payload):
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8:
-                raise ValueError(f"PNG: bit depth {depth} unsupported "
-                                 "(built-in decoder handles 8 only)")
-            if color not in _CHANNELS:
-                raise ValueError(f"PNG: color type {color} unsupported "
-                                 "(no palette support in the built-in)")
+            if color == 3:
+                channels = 1              # palette indexes; expanded below
+            elif color in _CHANNELS:
+                channels = _CHANNELS[color]
+            else:
+                raise ValueError(f"PNG: color type {color} unsupported")
+            # depths 1/2/4 are legal for grayscale + palette only (spec
+            # 11.2.2); 16-bit stays out of the built-in
+            if depth not in ((1, 2, 4, 8) if color in (0, 3) else (8,)):
+                raise ValueError(f"PNG: bit depth {depth} unsupported for "
+                                 f"color type {color} (built-in decodes "
+                                 "1/2/4/8 grayscale+palette, 8 otherwise)")
             if interlace != 0:
                 raise ValueError("PNG: Adam7 interlacing unsupported")
             if comp != 0 or filt != 0:
                 raise ValueError("PNG: nonstandard compression/filter "
                                  "method")
-            channels = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PNG: PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += data
     if width is None:
         raise ValueError("PNG: missing IHDR")
+    if color == 3 and palette is None:
+        raise ValueError("PNG: palette image without a PLTE chunk")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
+    # filtering operates on BYTES: a sub-byte-depth row packs several
+    # samples per byte and filters with a 1-byte left distance (spec 9.2)
+    row_bytes = (width * channels * depth + 7) // 8
+    stride = row_bytes
     if raw.size != height * (stride + 1):
         raise ValueError(f"PNG: pixel stream is {raw.size} bytes, "
                          f"expected {height * (stride + 1)}")
@@ -94,7 +114,7 @@ def parse_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     # Average/Paeth scan pixels left-to-right with the channel lanes
     # vectorized — rows remain a Python loop, which is the honest shape
     # for a recurrence that crosses scanlines
-    bpp = channels
+    bpp = max(1, channels * depth // 8)
     out = np.zeros((height, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
@@ -128,7 +148,34 @@ def parse_png(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             raise ValueError(f"PNG: filter type {ftype} on row {y}")
         out[y] = line
         prev = line
-    return out.astype(np.uint8), width, height, channels
+    px = out.astype(np.uint8)
+    if depth < 8:
+        # unpack MSB-first bit groups into one sample per value, then
+        # crop the row padding (the last byte of a row may carry unused
+        # low bits)
+        bits = np.unpackbits(px, axis=1)
+        groups = bits[:, :row_bytes * 8 // depth * depth] \
+            .reshape(height, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samples = (groups * weights).sum(axis=2).astype(np.uint8)
+        samples = samples[:, :width]
+        if color == 0:
+            # scale to full 8-bit range (255 / (2^d - 1) is exact for
+            # d in {1, 2, 4}: 255, 85, 17)
+            px = samples * np.uint8(255 // ((1 << depth) - 1))
+        else:
+            px = samples
+    if color == 3:
+        idx = px.reshape(height, width)
+        if idx.max() >= len(palette):
+            raise ValueError("PNG: palette index out of range")
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[:len(trns)] = trns
+            rgba = np.concatenate([palette, alpha[:, None]], axis=1)
+            return rgba[idx].reshape(height, width * 4), width, height, 4
+        return palette[idx].reshape(height, width * 3), width, height, 3
+    return px, width, height, channels
 
 
 def decode_png(payload: bytes) -> np.ndarray:
